@@ -1,0 +1,113 @@
+"""F4 — money-string normalization (entity canonicalization key).
+
+From-scratch Chinese-numeral → integer converter with the same contract
+as the reference's ArabicNumbersFormatter
+(tools/regularize_money_from_csv_results.py:40-153):
+
+- pre-clean: drop 餘, keep only Unicode-alphanumeric chars (so commas,
+  dots and spaces vanish — including the reference's documented quirk
+  that "1,680.50元" collapses to 168050), strip currency suffixes;
+- parse pure Arabic, pure Chinese (traditional or simplified, incl.
+  missing-unit forms like 六百二十五 and 八十八), and mixed forms like
+  三千500 / 500萬;
+- unparseable values -> "nan" (outlier representation), matching the
+  reference's fail-case routing.
+
+Pure function + Arrow-batched pandas UDF; no cn2an/opencc dependency.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_DIGITS = {
+    "零": 0, "〇": 0,
+    "一": 1, "壹": 1,
+    "二": 2, "貳": 2, "贰": 2, "兩": 2, "两": 2,
+    "三": 3, "參": 3, "叁": 3,
+    "四": 4, "肆": 4,
+    "五": 5, "伍": 5,
+    "六": 6, "陸": 6, "陆": 6,
+    "七": 7, "柒": 7,
+    "八": 8, "捌": 8,
+    "九": 9, "玖": 9,
+}
+_UNITS = {"十": 10, "拾": 10, "百": 100, "佰": 100, "千": 1000, "仟": 1000}
+_SECTIONS = {"萬": 10**4, "万": 10**4, "億": 10**8, "亿": 10**8}
+_CURRENCY = "元圓圆块塊"
+
+_NON_ALNUM = re.compile(r"[^\w]|_", re.UNICODE)
+
+
+def _pre_clean(money: str) -> str:
+    money = money.replace("餘", "")
+    money = _NON_ALNUM.sub("", money)  # reference: filter(str.isalnum)
+    return money.rstrip(_CURRENCY)
+
+
+def parse_money(money: str) -> int:
+    """Parse a cleaned money string into an int. Raises ValueError."""
+    if not money:
+        raise ValueError("empty")
+    total = 0
+    section = 0
+    current = 0
+    i = 0
+    n = len(money)
+    seen_number = False
+    while i < n:
+        ch = money[i]
+        if ch.isascii() and ch.isdigit():
+            j = i
+            while j < n and money[j].isascii() and money[j].isdigit():
+                j += 1
+            current = current * (10 ** (j - i)) + int(money[i:j])
+            seen_number = True
+            i = j
+            continue
+        if ch in _DIGITS:
+            d = _DIGITS[ch]
+            if d == 0:
+                # 零 is a positional placeholder; it never accumulates.
+                i += 1
+                continue
+            current = current * 10 + d
+            seen_number = True
+        elif ch in _UNITS:
+            section += (current if current else 1) * _UNITS[ch]
+            current = 0
+            seen_number = True
+        elif ch in _SECTIONS:
+            section = (section + current) * _SECTIONS[ch]
+            total += section
+            section = 0
+            current = 0
+            seen_number = True
+        else:
+            raise ValueError(f"unparseable char {ch!r} in {money!r}")
+        i += 1
+    if not seen_number:
+        raise ValueError(f"no numerals in {money!r}")
+    return total + section + current
+
+
+def normalize_money(money, outlier: str = "nan") -> str:
+    """Full normalization: surface form -> integer string or 'nan'."""
+    if money is None:
+        return outlier
+    s = str(money)
+    if s == "nan":
+        return outlier
+    try:
+        return str(parse_money(_pre_clean(s)))
+    except ValueError:
+        return outlier
+
+
+@F.pandas_udf(StringType())
+def normalize_money_udf(money: pd.Series) -> pd.Series:
+    return money.map(lambda m: normalize_money(m))

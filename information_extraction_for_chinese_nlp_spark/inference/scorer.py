@@ -1,0 +1,164 @@
+"""M2 — batched encoder scoring, Spark-side as iterator ``mapInPandas``.
+
+The reference serves a PaddleNLP UIE model via Taskflow
+(run_infer.py:105-127): tokenizer + encoder + two sigmoid pointer heads
+producing per-token start/end probabilities, then span decode. Here the
+encoder is pluggable:
+
+- ``StubEncoder`` — deterministic, dependency-free stand-in: finds
+  prompt-conditioned money mentions by regex and assigns stable pseudo
+  probabilities from md5. Char-level (identity offset mapping), so decode
+  needs no tokenizer. Used for all tests/benchmarks in this sandbox.
+- ``OnnxEncoder`` — loads an ONNX-exported UIE encoder once per executor
+  (session cached at module level) and scores Arrow batches; gated behind
+  an import-try since onnxruntime isn't in this container.
+
+Both return per-char start/end probability vectors; decode (M3) runs in
+the same pandas batch so probability vectors never cross the Arrow
+boundary — only the decoded spans do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable, Iterator, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..functions.spans import decode_spans
+
+# Money-ish mention: Arabic digits (with separators) and/or CJK numerals,
+# optional trailing 元. Matches the fixture styles 「98,532元」「八萬元」
+# 「三千500元」 (reference fixture: tests/conftest.py:4-8).
+_MONEY = r"(?:[0-9][0-9,\.]*|[零〇一二三四五六七八九十百千萬万億兩两]+)+元?"
+
+
+def _stable_unit(*parts: str) -> float:
+    """Deterministic pseudo-random in [0, 1) from md5 of the parts."""
+    h = hashlib.md5("|".join(parts).encode("utf-8")).hexdigest()
+    return int(h[:8], 16) / 0xFFFFFFFF
+
+
+class StubEncoder:
+    """Deterministic fake pointer-head encoder (char-level)."""
+
+    def __init__(self, prompts: Sequence[str]):
+        self._patterns = {p: re.compile(re.escape(p) + "(" + _MONEY + ")") for p in prompts}
+
+    def score(self, content: str, prompt: str) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(content)
+        start_probs = np.zeros(n, dtype=np.float64)
+        end_probs = np.zeros(n, dtype=np.float64)
+        pattern = self._patterns.get(prompt)
+        if pattern is None or n == 0:
+            return start_probs, end_probs
+        for m in pattern.finditer(content):
+            s, e = m.span(1)
+            mention = m.group(1)
+            ps = 0.51 + 0.48 * _stable_unit(prompt, mention, "s")
+            pe = 0.51 + 0.48 * _stable_unit(prompt, mention, "e")
+            start_probs[s] = max(start_probs[s], ps)
+            end_probs[e - 1] = max(end_probs[e - 1], pe)
+            # Sub-threshold noise at the prompt keyword itself — decode
+            # must drop it (exercises the strict > 0.5 rule).
+            ks = m.start()
+            start_probs[ks] = max(start_probs[ks], 0.30)
+        return start_probs, end_probs
+
+
+class OnnxEncoder:  # pragma: no cover - not available in this sandbox
+    """Real path: ONNX-exported UIE encoder + HF fast tokenizer.
+
+    Loaded lazily once per Python worker; scores padded int64 batches
+    exactly like the reference's exported static graph
+    (reference run_train.py:139-143, config/base_config.py:8-13).
+    """
+
+    def __init__(self, model_path: str, tokenizer_name: str = "bert-base-chinese"):
+        try:
+            import onnxruntime  # noqa: F401
+            from transformers import AutoTokenizer  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "onnxruntime/transformers not installed in this environment; "
+                "use StubEncoder or install the serving extras"
+            ) from exc
+        import onnxruntime
+        from transformers import AutoTokenizer
+
+        self.session = onnxruntime.InferenceSession(model_path)
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name, use_fast=True)
+
+    def score(self, content: str, prompt: str):
+        raise NotImplementedError("wire tokenize → session.run → offset-map back")
+
+
+_ENCODER_CACHE: dict = {}
+
+
+def get_encoder(kind: str, prompts: Sequence[str], model_path: str | None = None):
+    """Per-worker encoder singleton (one model load per executor)."""
+    key = (kind, tuple(prompts), model_path)
+    if key not in _ENCODER_CACHE:
+        if kind == "stub":
+            _ENCODER_CACHE[key] = StubEncoder(prompts)
+        elif kind == "onnx":
+            _ENCODER_CACHE[key] = OnnxEncoder(model_path)
+        else:
+            raise ValueError(f"unknown encoder kind {kind!r}")
+    return _ENCODER_CACHE[key]
+
+
+EXTRACTION_COLUMNS = [
+    "doc_id",
+    "chunk_idx",
+    "chunk_start",
+    "prompt",
+    "span_text",
+    "start",
+    "end",
+    "probability",
+]
+
+EXTRACTION_DDL = (
+    "doc_id string, chunk_idx int, chunk_start int, prompt string, "
+    "span_text string, start int, end int, probability double"
+)
+
+
+def make_score_map(encoder_kind: str, prompts: Sequence[str],
+                   model_path: str | None = None, limit: float = 0.5):
+    """Iterator mapInPandas fn: model-input batches -> decoded span rows.
+
+    Output offsets are document-absolute (chunk_start + local offset),
+    end exclusive — matching the reference's emitted D5 records
+    (run_infer.py:79-81 reports offsets in regularized-document space).
+    """
+
+    def score_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoder = get_encoder(encoder_kind, prompts, model_path)
+        for pdf in batches:
+            rows: List[tuple] = []
+            for doc_id, chunk_idx, chunk_start, content, prompt in zip(
+                pdf["doc_id"], pdf["chunk_idx"], pdf["chunk_start"],
+                pdf["content"], pdf["prompt"],
+            ):
+                sp, ep = encoder.score(content, prompt)
+                for s, e_incl, prob in decode_spans(sp, ep, limit):
+                    rows.append(
+                        (
+                            doc_id,
+                            int(chunk_idx),
+                            int(chunk_start),
+                            prompt,
+                            content[s : e_incl + 1],
+                            int(chunk_start) + s,
+                            int(chunk_start) + e_incl + 1,
+                            float(prob),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=EXTRACTION_COLUMNS)
+
+    return score_map

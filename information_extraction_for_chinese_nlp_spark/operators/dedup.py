@@ -1,0 +1,159 @@
+"""Deduplication suite for training-data pipelines.
+
+All four families are expressed as shuffle-lean DataFrame plans:
+
+- exact: hash-groupBy on md5(text) — one shuffle, map-side combine.
+- MinHash + LSH: shingle -> per-seed min of a keyed hash -> band
+  signature -> bucket self-join. The pair join runs on band buckets,
+  never on raw documents, so candidate generation is output-bound.
+- SimHash: per-bit majority vote over token hashes, aggregated with a
+  single groupBy (bits unpacked via explode of a literal range).
+- n-gram Jaccard: explode shingles -> self-join on shingle -> pair
+  intersection counts vs per-doc set sizes (the standard scalable
+  formulation: |A∩B| from the join, |A|,|B| broadcast back).
+
+All hashes are md5-hex (engine-portable: identical in DuckDB, so every
+operator here is oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (text_md5, keep_id, n_dups): canonical row per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def tokens(col):
+    return F.split(col, " ")
+
+
+def word_shingles(col, n: int = 3):
+    """array of distinct word n-grams (space-joined)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, seed, minhash): per-seed min of md5(token#seed).
+
+    String-min over md5 hex is a valid min-wise hash family and is
+    byte-identical across engines.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    )
+    seeded = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed"),
+        "w",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws("#", "w", "seed"))).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_seeds: int = 4,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_a, doc_b) candidate near-dup pairs sharing a full band."""
+    sigs = minhash_signatures(docs, n_seeds, id_col, text_col)
+    band = sigs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"],
+            ),
+            "|",
+        ).alias("band")
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(b, on="band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 16,
+            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash): n_bits-bit majority fingerprint.
+
+    Bit b of a token = parity of hex digit b of md5(token); fingerprint
+    bit b = 1 iff the +1/-1 vote over distinct tokens is positive.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(
+            (F.instr(F.lit("0123456789abcdef"), F.substring("h", F.col("bit") + 1, 1)) - 1)
+            % 2
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_a, doc_b, jac): word-n-gram Jaccard ≥ threshold.
+
+    Scalable formulation: pairs come from the shingle inverted index, so
+    disjoint documents never meet. Hot shingles are the skew risk at
+    scale — cap them (drop shingles with document frequency above a
+    bound) before the self-join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", "jac")

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; the query side is small and
+  broadcast, the corpus side streams — no shuffle of the corpus.
+- LSH-bucketed ANN (random-hyperplane signs): the scale path; candidate
+  pairs only meet inside a bucket.
+
+Dot products are pure Catalyst (`aggregate` + `zip_with`), computed in
+double precision so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (qid, nid, sim, rank): exact top-k cosine neighbors per query.
+
+    queries is broadcast (small); ties break on neighbor id so ranking is
+    total. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, bucket): sign pattern against n_planes pseudo-random
+    hyperplanes. Planes are derived deterministically from (seed, plane,
+    dim) via a portable integer mix of md5 — no driver-side randomness,
+    so the same bucketing falls out on any cluster size.
+    """
+    dim = F.size(F.col(vec_col))
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws("#", F.lit(seed), p, i)), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 2001
+                        - 1000
+                    ).cast("double")
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bucket = F.array_join(
+        F.transform(planes, lambda d: F.when(d >= 0, "1").otherwise("0")), ""
+    )
+    return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket."""
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).join(
+        cb.select(F.col("vec_id").alias("nid"), "bucket"), "nid"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).join(
+        qb.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,90 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in Catalyst expressions (JVM-side, codegen) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# tiny marker-word profiles for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(col):
+    """Whitespace token count (empty string -> 0)."""
+    return F.when(F.length(F.trim(col)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """-> per-doc (n_chars, n_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, quality_score)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = token_count(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(0.0)
+    punct_ratio = F.when(
+        F.length(text_col) > 0, n_punct / F.length(text_col).cast("double")
+    ).otherwise(0.0)
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+        / n_tokens.cast("double"),
+    ).otherwise(0.0)
+    # simple composite: long-enough docs with moderate stopword density
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stopword_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker hit rates;
+    'und' when nothing matches."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 over the lowercased,
+    whitespace-collapsed text (stable dedup/citation key)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )

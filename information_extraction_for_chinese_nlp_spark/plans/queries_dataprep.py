@@ -1,0 +1,294 @@
+"""Training-data-pipeline operators over documents/embeddings, each with
+a DuckDB oracle: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search, and text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Dedup — exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    from ..operators.dedup import dedup_exact
+
+    return dedup_exact(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup — MinHash signatures + LSH band pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, w
+      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
+    )
+    SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
+    FROM seeded GROUP BY doc_id, seed
+    """,
+)
+def minhash_signatures_q(spark, sf_dir):
+    from ..operators.dedup import minhash_signatures
+
+    out = minhash_signatures(load(spark, sf_dir, "documents"), n_seeds=4)
+    return out.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+@register(
+    "minhash_lsh_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, w
+      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, string_agg(minhash, '|' ORDER BY seed) AS band
+      FROM sigs GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b USING (band)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), n_seeds=4)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — SimHash fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (strpos('0123456789abcdef', substring(md5(w), b.bit + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_q(spark, sf_dir):
+    from ..operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), n_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — word-3-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                              i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             )) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jac
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.1
+    """,
+)
+def ngram_jaccard_q(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qid, nid,
+             round(list_dot_product(qvec, nvec)
+                   / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(nvec, nvec))),
+                   4) AS sim
+      FROM c CROSS JOIN q WHERE qid <> nid
+    ),
+    ranked AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def embedding_topk_q(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select("qid", "nid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register("ann_topk")  # LSH bucketing uses engine hashes — rows-only check
+def ann_topk_q(spark, sf_dir):
+    from ..operators.similarity import ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — quality features / language ID / fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_features",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['the','a','of','and','to','in','is'], w)))
+                  END AS n_stop,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END AS avg_token_len,
+             CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(avg_token_len, 6) AS avg_token_len,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + least(stopword_ratio * 5, 1.0) * 0.3
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.2, 6) AS quality_score
+    FROM feat
+    """,
+)
+def quality_features_q(spark, sf_dir):
+    from ..operators.textstats import quality_features
+
+    out = quality_features(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "lang_id",
+    r"""
+    WITH hits AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['the','a','of'], w))) END AS en_hits,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['的','是','了'], w))) END AS zh_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN zh_hits >= en_hits AND zh_hits > 0 THEN 'zh'
+                WHEN en_hits > 0 THEN 'en'
+                ELSE 'und' END AS lang_pred,
+           greatest(en_hits, zh_hits) AS marker_hits
+    FROM hits
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    from ..operators.textstats import lang_id
+
+    out = lang_id(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", F.col("marker_hits").cast("long").alias("marker_hits"))
+
+
+@register(
+    "fingerprint",
+    r"""
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_q(spark, sf_dir):
+    from ..operators.textstats import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))

@@ -1,0 +1,55 @@
+"""The queries()/oracle_sql() registry — driver correctness gate.
+
+Each entry is (spark_fn, duckdb_sql) over the driver's testdata views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Spark callables take (spark, sf_dir). Column names are
+aliased identically on both sides (the driver hash-compares by sorted
+column name).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Dict, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    _load()
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all modules that carry @register entries."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries_relational  # noqa: F401
+    from . import queries_extraction  # noqa: F401
+    from . import queries_dataprep  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,103 @@
+"""Table IO: testdata loaders and an Iceberg-or-parquet writer facade.
+
+The design target is Iceberg (snapshot lineage, hidden partitioning);
+this sandbox has no Iceberg runtime jar, so ``TableIO`` falls back to
+parquet plus a JSON manifest that records snapshot ids — the same
+interface either way, so the pipeline code never branches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: Sequence[str] = TESTDATA_TABLES) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # type: ignore[attr-defined]
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Write/read named tables with snapshot lineage.
+
+    Iceberg when the runtime is present; otherwise parquet subdirs +
+    ``_manifest.json`` mapping table -> list of snapshot records.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.use_iceberg = _iceberg_available(spark)
+        os.makedirs(warehouse, exist_ok=True)
+        self._manifest_path = os.path.join(warehouse, "_manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._manifest_path)
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_by: Sequence[str] = ()) -> str:
+        """Write and return the new snapshot id."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        if self.use_iceberg:  # pragma: no cover - no Iceberg jar in sandbox
+            writer = df.writeTo(f"{self.warehouse}.{table}")
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return snapshot_id
+        path = os.path.join(self.warehouse, table, f"snap={snapshot_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        m = self._manifest()
+        snaps = m.setdefault(table, [])
+        if mode == "overwrite":
+            snaps.clear()
+        snaps.append({"snapshot_id": snapshot_id, "path": path})
+        self._save_manifest(m)
+        return snapshot_id
+
+    def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:  # pragma: no cover
+            return self.spark.read.format("iceberg").load(f"{self.warehouse}.{table}")
+        m = self._manifest()
+        snaps = m.get(table, [])
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        paths = [s["path"] for s in snaps]
+        return self.spark.read.parquet(*paths)
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._manifest().get(table, [])
