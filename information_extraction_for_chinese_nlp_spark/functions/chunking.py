@@ -174,9 +174,13 @@ def explode_chunks(df, text_col: str, prompt_col: str, spans_col: Column | None,
         "array<struct<start:int,end:int,text:string>>"
     )
     with_chunks = df.withColumn("_chunks", udf(F.col(text_col), F.col(prompt_col), spans))
+    # posexplode_outer, not posexplode: the plain Generate makes the
+    # optimizer infer a `size(_chunks) > 0` pre-filter that re-evaluates
+    # the pandas UDF a second time (two ArrowEvalPython nodes). The outer
+    # variant keeps one UDF eval; null rows are dropped right after.
     exploded = with_chunks.select(
-        "*", F.posexplode("_chunks").alias("chunk_idx", "_chunk")
-    )
+        "*", F.posexplode_outer("_chunks").alias("chunk_idx", "_chunk")
+    ).filter(F.col("_chunk").isNotNull())
     return (
         exploded.withColumn("chunk_start", F.col("_chunk.chunk_start"))
         .withColumn("content", F.col("_chunk.content"))

@@ -1,0 +1,117 @@
+"""E2 — training-data conversion lifecycle (reference run_convert.py):
+Label Studio annotations -> regularized documents -> prompt-expanded,
+chunked model-input records -> train/dev/test splits.
+
+Differences from the reference, by design:
+- invalid records (non-NER annotation type, bad spans) route to a
+  quarantine frame instead of aborting the whole file
+  (reference raises ValueError at utils/json_utils.py:54-58);
+- the split is exact-count and deterministic (global row_number over a
+  seeded hash order) rather than an in-memory permutation — same
+  80/10/10 cut-point arithmetic as run_convert.py:29-44.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.chunking import explode_chunks
+from ..functions.text import regularize_udf
+
+
+def parse_labelstudio(raw: DataFrame) -> Tuple[DataFrame, DataFrame]:
+    """D2 -> (documents-with-spans, quarantine).
+
+    Expects the Label Studio export schema:
+      id, data.text, annotations[0].result[]: {type, value:{start,end,text,labels[]}}
+    Only ``type == 'labels'`` (NER) is valid — others quarantine
+    (reference utils/json_utils.py:54-58).
+    """
+    flat = raw.select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("data.text").alias("text"),
+        F.element_at("annotations", 1)["result"].alias("_results"),
+    )
+    exploded = flat.select(
+        "doc_id", "text", F.explode_outer("_results").alias("r")
+    )
+    bad = exploded.filter(
+        F.col("r").isNotNull() & (F.col("r.type") != "labels")
+    ).select("doc_id", F.col("r.type").alias("bad_type"))
+
+    good = exploded.filter(F.col("r").isNull() | (F.col("r.type") == "labels"))
+    spans = good.groupBy("doc_id", "text").agg(
+        F.array_sort(
+            F.collect_list(
+                # when() -> NULL for annotation-less docs; collect_list
+                # skips NULLs, so those docs get an empty spans array
+                # instead of a struct of nulls.
+                F.when(
+                    F.col("r").isNotNull(),
+                    F.struct(
+                        F.col("r.value.start").alias("start"),
+                        F.col("r.value.end").alias("end"),
+                        F.col("r.value.text").alias("text"),
+                        F.element_at(F.col("r.value.labels"), 1).alias("label"),
+                    ),
+                )
+            )
+        ).alias("spans")
+    )
+    # drop docs that had any invalid annotation
+    docs = spans.join(bad.select("doc_id").distinct(), on="doc_id", how="left_anti")
+    return docs, bad
+
+
+def regularize_documents(docs: DataFrame) -> DataFrame:
+    """P2 over the document+spans frame (span-preserving scrub)."""
+    reg = docs.withColumn("_r", regularize_udf(F.col("text"), F.col("spans")))
+    return reg.select(
+        "doc_id",
+        F.col("_r.text").alias("text"),
+        F.col("_r.spans").alias("spans"),
+    )
+
+
+def to_model_input(docs: DataFrame, prompts: Sequence[str],
+                   max_seq_len: int = 512) -> DataFrame:
+    """documents-with-spans -> D3 chunked records with routed gold spans."""
+    from .expansion import expand_prompts
+
+    prompted = expand_prompts(docs, prompts, spans_col="spans")
+    chunked = explode_chunks(
+        prompted, "text", "prompt", F.col("result_list"), max_seq_len
+    )
+    return chunked.select(
+        "doc_id", "chunk_idx", "chunk_start", "content", "prompt", "result_list"
+    )
+
+
+def split_dataset(
+    df: DataFrame,
+    ratios: Sequence[float] = (0.8, 0.1, 0.1),
+    seed: int = 1000,
+    order_cols: Sequence[str] = ("doc_id", "prompt", "chunk_idx"),
+) -> DataFrame:
+    """Deterministic exact-count split: shuffle by seeded hash, cut at
+    round(n * cumulative_ratio) (reference run_convert.py:29-44
+    arithmetic). Adds a `split` column in {train, dev, test}."""
+    assert abs(sum(ratios) - 1.0) < 1e-9, "ratios must sum to 1"
+    h = F.xxhash64(*[F.col(c) for c in order_cols], F.lit(seed))
+    w = Window.orderBy(h, *order_cols)
+    n = Window.partitionBy()
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(n)
+    )
+    cut1 = F.round(F.col("_n") * ratios[0])
+    cut2 = F.round(F.col("_n") * (ratios[0] + ratios[1]))
+    return ranked.withColumn(
+        "split",
+        F.when(F.col("_rn") <= cut1, "train")
+        .when(F.col("_rn") <= cut2, "dev")
+        .otherwise("test"),
+    ).drop("_rn", "_n")

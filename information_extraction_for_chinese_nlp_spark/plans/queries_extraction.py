@@ -223,6 +223,30 @@ def triples_pipeline(spark, sf_dir):
     return extract_triples(transcripts_from_documents(docs), max_seq_len=512)
 
 
+@register("graph_vertices")
+def graph_vertices(spark, sf_dir):
+    """Full KG tail: extraction edges -> canonical vertex table."""
+    from ..plans.graph import build_graph
+
+    edges = triples_pipeline(spark, sf_dir)
+    vertices, _ = build_graph(edges)
+    return vertices
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, n=200), dim=16)
+
+
+@register("frame_sampling")
+def frame_sampling(spark, sf_dir):
+    from ..operators.multimodal import sample_frames, synth_assets
+
+    return sample_frames(synth_assets(spark, n=200), every_ms=1000)
+
+
 @register("entity_link_scored")
 def entity_link_scored(spark, sf_dir):
     from ..operators.linking import link_entities

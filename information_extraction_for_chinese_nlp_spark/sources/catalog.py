@@ -33,8 +33,16 @@ def register_views(spark: SparkSession, sf_dir: str,
 
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # type: ignore[attr-defined]
-        return True
+        # py4j resolves missing classes to JavaPackage lazily, so probe
+        # with an actual classload instead of attribute access.
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return any(
+            "iceberg" in str(v).lower()
+            for k, v in spark.sparkContext.getConf().getAll()
+            if k.startswith("spark.sql.catalog")
+        )
     except Exception:
         return False
 

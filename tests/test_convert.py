@@ -1,0 +1,83 @@
+"""E2 conversion lifecycle: Label Studio -> regularize -> model input ->
+split (reference run_convert.py semantics)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from information_extraction_for_chinese_nlp_spark import ENTITY_TYPES
+from information_extraction_for_chinese_nlp_spark.operators.convert import (
+    parse_labelstudio,
+    regularize_documents,
+    split_dataset,
+    to_model_input,
+)
+
+
+def _labelstudio_df(spark):
+    def rec(i, text, results):
+        return Row(
+            id=i,
+            data=Row(text=text),
+            annotations=[Row(result=results)],
+        )
+
+    def span(start, end, text, label, typ="labels"):
+        return Row(
+            type=typ, value=Row(start=start, end=end, text=text, labels=[label])
+        )
+
+    text1 = "原告 支出醫療費用98,532元\n並請求慰撫金"
+    # span over "98,532元" in raw coords: index of '9' = 12 ... verify below
+    s = text1.index("98,532元")
+    rows = [
+        rec(0, text1, [span(s, s + 7, "98,532元", "醫療費用")]),
+        rec(1, "無相關內容", []),
+        rec(2, "relation doc", [span(0, 3, "rel", "醫療費用", typ="relation")]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_parse_and_quarantine(spark):
+    docs, bad = parse_labelstudio(_labelstudio_df(spark))
+    assert bad.count() == 1
+    assert bad.first().bad_type == "relation"
+    got = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert got == {"0", "1"}
+
+
+def test_regularize_preserves_spans(spark):
+    docs, _ = parse_labelstudio(_labelstudio_df(spark))
+    reg = regularize_documents(docs).toPandas().set_index("doc_id")
+    t = reg.loc["0", "text"]
+    assert "\n" not in t and " " not in t
+    sp = reg.loc["0", "spans"][0]
+    assert t[sp["start"] : sp["end"]] == sp["text"] == "98,532元"
+
+
+def test_model_input_routing_and_roundtrip(spark):
+    docs, _ = parse_labelstudio(_labelstudio_df(spark))
+    reg = regularize_documents(docs)
+    mi = to_model_input(reg, ENTITY_TYPES, max_seq_len=64).toPandas()
+    # 2 docs × 3 prompts, 1 chunk each (short texts)
+    assert len(mi) == 6
+    routed = mi[mi.result_list.map(len) > 0]
+    assert len(routed) == 1
+    row = routed.iloc[0]
+    assert row.prompt == "醫療費用"
+    sp = row.result_list[0]
+    assert row.content[sp["start"] : sp["end"]] == sp["text"]
+
+
+def test_split_exact_counts_and_determinism(spark):
+    df = spark.range(100).select(
+        F.concat(F.lit("d"), "id").alias("doc_id"),
+        F.lit("p").alias("prompt"),
+        F.lit(0).alias("chunk_idx"),
+    )
+    s1 = split_dataset(df, (0.8, 0.1, 0.1), seed=1000)
+    counts = {r["split"]: r["count"] for r in s1.groupBy("split").count().collect()}
+    assert counts == {"train": 80, "dev": 10, "test": 10}
+    s2 = split_dataset(df, (0.8, 0.1, 0.1), seed=1000)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    s3 = split_dataset(df, (0.8, 0.1, 0.1), seed=7)
+    assert sorted(map(tuple, s1.collect())) != sorted(map(tuple, s3.collect()))

@@ -1,0 +1,75 @@
+"""Kill/resume: a run killed mid-way resumes without recomputing
+completed buckets and converges to the single-shot result."""
+
+import pytest
+
+from information_extraction_for_chinese_nlp_spark.plans.pipeline import extract_triples
+from information_extraction_for_chinese_nlp_spark.sources.catalog import TableIO
+from information_extraction_for_chinese_nlp_spark.sources.checkpoint import ResumableRunner
+from information_extraction_for_chinese_nlp_spark.sources.transcripts import synth_transcripts
+
+
+class Kill(RuntimeError):
+    pass
+
+
+def _edges(df):
+    return extract_triples(df, max_seq_len=128)
+
+
+def test_kill_and_resume(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=40, turns_per_conv=6).cache()
+    expected = sorted(map(tuple, _edges(transcripts).collect()))
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    runner = ResumableRunner(spark, io, n_buckets=8)
+
+    # First run dies after 1 batch (simulated kill).
+    calls = {"n": 0}
+
+    def dying_process(df):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise Kill()
+        return _edges(df)
+
+    with pytest.raises(Kill):
+        runner.run(transcripts, dying_process, "edges", buckets_per_batch=2)
+
+    done_after_kill = runner.done_buckets()
+    assert 0 < len(done_after_kill) < 8, "kill should leave partial watermarks"
+    partial_rows = io.read("edges").count()
+
+    # Resume: a fresh runner over the same warehouse completes the rest.
+    runner2 = ResumableRunner(spark, io, n_buckets=8)
+    pending_before = runner2.pending(transcripts)
+    # completed buckets never reappear in the pending slice
+    assert pending_before.withColumn("_b", runner2.bucket_col()).filter(
+        pending_before["conv_id"].isNotNull()
+    ).select("conv_id").distinct().count() > 0
+
+    processed_batches = {"n": 0}
+
+    def counting_process(df):
+        processed_batches["n"] += 1
+        return _edges(df)
+
+    runner2.run(transcripts, counting_process, "edges", buckets_per_batch=2)
+    assert runner2.done_buckets() == set(range(8))
+    # resume only ran the remaining batches
+    assert processed_batches["n"] == (8 - len(done_after_kill)) // 2
+
+    got = sorted(map(tuple, io.read("edges").collect()))
+    assert got == expected
+    assert io.read("edges").count() > partial_rows
+
+
+def test_pending_left_anti(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=20, turns_per_conv=4)
+    io = TableIO(spark, str(tmp_path / "wh2"))
+    runner = ResumableRunner(spark, io, n_buckets=4)
+    runner.run(transcripts, _edges, "edges", buckets_per_batch=4)
+    # everything done -> pending is empty
+    assert runner.pending(transcripts).count() == 0
+    # idempotent re-run writes nothing new
+    assert runner.run(transcripts, _edges, "edges") == 0

@@ -1,0 +1,78 @@
+"""Streaming parity: micro-batched extraction equals the batch run;
+windowed rollup aggregates with watermark."""
+
+import os
+
+from information_extraction_for_chinese_nlp_spark.plans.pipeline import extract_triples
+from information_extraction_for_chinese_nlp_spark.sources.transcripts import synth_transcripts
+from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+    read_transcript_stream,
+    stream_edges,
+    windowed_edge_counts,
+)
+
+
+def _write_stream_input(spark, tmp_path, n_convs=24):
+    src = str(tmp_path / "in")
+    t = synth_transcripts(spark, n_convs=n_convs, turns_per_conv=6)
+    # several files so the stream sees multiple batches; conversations
+    # don't straddle files (partition by conv bucket)
+    t.repartition(4, "conv_id").write.parquet(src)
+    return src, t
+
+
+def test_stream_edges_matches_batch(spark, tmp_path):
+    src, t = _write_stream_input(spark, tmp_path)
+    out = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q = stream_edges(stream, out, ckpt, max_seq_len=128)
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).drop("batch_id").collect())
+    )
+    want = sorted(map(tuple, extract_triples(t, max_seq_len=128).collect()))
+    assert got == want
+
+
+def test_stream_is_exactly_once_on_restart(spark, tmp_path):
+    src, t = _write_stream_input(spark, tmp_path)
+    out = str(tmp_path / "edges2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    q = stream_edges(read_transcript_stream(spark, src), out, ckpt, max_seq_len=128)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # restart with same checkpoint: no new input -> no duplicates
+    q2 = stream_edges(read_transcript_stream(spark, src), out, ckpt, max_seq_len=128)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_edge_counts(spark, tmp_path):
+    src, t = _write_stream_input(spark, tmp_path)
+    stream = read_transcript_stream(spark, src)
+    agg = windowed_edge_counts(stream, watermark="1 minute", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; the final window stays open,
+    # so compare against batch counts restricted to emitted windows.
+    got = spark.sql("select * from wincounts").toPandas()
+    assert set(got.columns) == {
+        "window_start", "window_end", "role", "n_turns", "n_money_turns"
+    }
+    if len(got):
+        batch = (
+            t.groupBy().count().collect()
+        )
+        assert got["n_turns"].sum() <= batch[0]["count"]
+        assert (got["n_money_turns"] <= got["n_turns"]).all()
