@@ -129,6 +129,9 @@ def make_chunk_udf(max_seq_len: int = 512):
 
     @F.pandas_udf(_CHUNKS_SCHEMA)
     def chunk_udf(text: pd.Series, prompt: pd.Series, spans: pd.Series) -> pd.Series:
+        from .worker import pin_worker_threads
+
+        pin_worker_threads()
         out = []
         for t, p, sp in zip(text, prompt, spans):
             if t is None or p is None:

@@ -110,4 +110,7 @@ def normalize_money(money, outlier: str = "nan") -> str:
 
 @F.pandas_udf(StringType())
 def normalize_money_udf(money: pd.Series) -> pd.Series:
+    from .worker import pin_worker_threads
+
+    pin_worker_threads()
     return money.map(lambda m: normalize_money(m))

@@ -129,6 +129,9 @@ _REGULARIZED_SCHEMA = StructType(
 @F.pandas_udf(_REGULARIZED_SCHEMA)
 def regularize_udf(text: pd.Series, spans: pd.Series) -> pd.DataFrame:
     """Arrow-batched P2. spans: array<struct<start,end,text,label>> or null."""
+    from .worker import pin_worker_threads
+
+    pin_worker_threads()
     out_text, out_spans = [], []
     for t, sp in zip(text, spans):
         if t is None:

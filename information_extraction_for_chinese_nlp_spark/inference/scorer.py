@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.spans import decode_spans
+from ..functions.worker import pin_worker_threads
 
 # Money-ish mention: Arabic digits (with separators) and/or CJK numerals,
 # optional trailing 元. Matches the fixture styles 「98,532元」「八萬元」
@@ -128,6 +129,59 @@ EXTRACTION_DDL = (
 )
 
 
+def make_extract_map(
+    encoder_kind: str,
+    prompts: Sequence[str],
+    max_seq_len: int = 512,
+    model_path: str | None = None,
+    limit: float = 0.5,
+):
+    """Fused fast path: ONE Arrow crossing for prompt-expand + chunk +
+    score + decode.
+
+    The modular plan (explode prompts -> chunk UDF -> score UDF) ships
+    each document's text 3× through Arrow and serializes the chunk list
+    as a nested struct array — measured to dominate wall time over the
+    actual scoring. Here the input is just (doc_id, text); prompts and
+    windows are iterated inside the batch, and only decoded span rows
+    come back out. Semantics are identical (the e2e test compares both
+    against the serial reference-style oracle).
+    """
+    from ..functions.chunking import chunk_content
+
+    def extract_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pin_worker_threads()
+        encoder = get_encoder(encoder_kind, prompts, model_path)
+        for pdf in batches:
+            rows: List[tuple] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                for prompt in prompts:
+                    try:
+                        chunks = chunk_content(text, prompt, max_seq_len)
+                    except ValueError:
+                        continue
+                    for chunk_idx, (chunk_start, content, _) in enumerate(chunks):
+                        sp, ep = encoder.score(content, prompt)
+                        for s, e_incl, prob in decode_spans(sp, ep, limit):
+                            rows.append(
+                                (
+                                    doc_id,
+                                    chunk_idx,
+                                    chunk_start,
+                                    prompt,
+                                    content[s : e_incl + 1],
+                                    chunk_start + s,
+                                    chunk_start + e_incl + 1,
+                                    float(prob),
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=EXTRACTION_COLUMNS)
+
+    return extract_map
+
+
 def make_score_map(encoder_kind: str, prompts: Sequence[str],
                    model_path: str | None = None, limit: float = 0.5):
     """Iterator mapInPandas fn: model-input batches -> decoded span rows.
@@ -138,6 +192,7 @@ def make_score_map(encoder_kind: str, prompts: Sequence[str],
     """
 
     def score_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pin_worker_threads()
         encoder = get_encoder(encoder_kind, prompts, model_path)
         for pdf in batches:
             rows: List[tuple] = []

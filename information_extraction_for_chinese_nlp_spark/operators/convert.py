@@ -91,6 +91,45 @@ def to_model_input(docs: DataFrame, prompts: Sequence[str],
     )
 
 
+def to_labelstudio(extractions: DataFrame) -> DataFrame:
+    """R5 — exploded extraction spans -> Label Studio import records
+    (inverse of parse_labelstudio; reference
+    tools/convert_to_labelstudio.py:93-143). One JSON-able row per doc:
+    {id, data:{text}, annotations:[{result:[{type:'labels', value}]}]}.
+    """
+    ann = F.struct(
+        F.lit("labels").alias("type"),
+        F.struct(
+            F.col("start").alias("start"),
+            F.col("end").alias("end"),
+            F.col("span_text").alias("text"),
+            F.array(F.col("prompt")).alias("labels"),
+        ).alias("value"),
+    )
+    text_col = (
+        F.col("text") if "text" in extractions.columns
+        else F.lit(None).cast("string")
+    )
+    per_doc = extractions.withColumn("_doc_text", text_col).groupBy("doc_id").agg(
+        F.first("_doc_text", ignorenulls=True).alias("_text"),
+        F.array_sort(F.collect_list(ann)).alias("_results"),
+    )
+    return per_doc.select(
+        F.col("doc_id").alias("id"),
+        F.struct(F.col("_text").alias("text")).alias("data"),
+        F.array(F.struct(F.col("_results").alias("result"))).alias("annotations"),
+    )
+
+
+def shuffle_rows(df: DataFrame, seed: int = 1000) -> DataFrame:
+    """T3 — seeded permutation (reference utils/json_utils.py:24-28).
+    Deterministic for a fixed partitioning; pin shuffle partitions in
+    tests (SURVEY.md §4 'seeded determinism')."""
+    from pyspark.sql.functions import rand
+
+    return df.orderBy(rand(seed))
+
+
 def split_dataset(
     df: DataFrame,
     ratios: Sequence[float] = (0.8, 0.1, 0.1),

@@ -90,6 +90,9 @@ def make_feature_map(dim: int = 16, codec: str = "fake"):
     """mapInPandas fn: assets -> per-asset feature rows."""
 
     def feature_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
         for pdf in batches:
             if codec == "real":
                 raise NotImplementedError(
@@ -127,6 +130,9 @@ def make_frame_sample_map(every_ms: int = 1000, codec: str = "fake"):
     """mapInPandas fn: video assets -> one row per sampled frame."""
 
     def frame_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
         for pdf in batches:
             if codec == "real":
                 raise NotImplementedError("real frame decode needs libav/ffmpeg")

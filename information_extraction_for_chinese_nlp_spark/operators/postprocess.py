@@ -54,10 +54,19 @@ def strategy_max(extractions: DataFrame, **_) -> DataFrame:
     )
 
 
+def strategy_threshold_inclusive(extractions: DataFrame, threshold: float = 0.5,
+                                 **_) -> DataFrame:
+    """P5 — the tools path's >= variant (tools/convert_to_labelstudio.py:87).
+    Kept as a separate named strategy so the reference's boundary
+    inconsistency stays visible instead of silently standardized."""
+    return extractions.filter(F.col("probability") >= F.lit(threshold))
+
+
 STRATEGIES: Dict[str, Callable[..., DataFrame]] = {
     "all": strategy_all,
     "max": strategy_max,
     "threshold": strategy_threshold,
+    "threshold_inclusive": strategy_threshold_inclusive,
 }
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .. import ENTITY_TYPES
 from ..functions.chunking import explode_chunks
 from ..functions.text import scrub_col
-from ..inference.scorer import EXTRACTION_DDL, make_score_map
+from ..inference.scorer import EXTRACTION_DDL, make_extract_map, make_score_map
 from ..operators.assembly import assemble_turns
 from ..operators.expansion import expand_prompts
 from ..operators.postprocess import apply_strategy
@@ -40,15 +40,31 @@ def extract_spans(
     model_path: str | None = None,
     strategy: str = "threshold",
     threshold: float = 0.5,
+    fused: bool = True,
 ) -> DataFrame:
-    """documents(doc_id, text) -> extractions (exploded D5)."""
+    """documents(doc_id, text) -> extractions (exploded D5).
+
+    fused=True (default, the hot path): one Arrow crossing doing
+    prompt-expand + chunk + score + decode together. fused=False keeps
+    the modular explode/chunk/score stages (useful when intermediate
+    model-input records must be materialized, e.g. training-data prep).
+    Both produce identical results — pinned by the e2e parity test.
+    """
     scrubbed = documents.select("doc_id", scrub_col(F.col("text")).alias("text"))
-    prompted = expand_prompts(scrubbed, prompts)
-    chunked = explode_chunks(prompted, "text", "prompt", None, max_seq_len)
-    model_input = chunked.select("doc_id", "chunk_idx", "chunk_start", "content", "prompt")
-    extracted = model_input.mapInPandas(
-        make_score_map(encoder_kind, list(prompts), model_path), EXTRACTION_DDL
-    )
+    if fused:
+        extracted = scrubbed.mapInPandas(
+            make_extract_map(encoder_kind, list(prompts), max_seq_len, model_path),
+            EXTRACTION_DDL,
+        )
+    else:
+        prompted = expand_prompts(scrubbed, prompts)
+        chunked = explode_chunks(prompted, "text", "prompt", None, max_seq_len)
+        model_input = chunked.select(
+            "doc_id", "chunk_idx", "chunk_start", "content", "prompt"
+        )
+        extracted = model_input.mapInPandas(
+            make_score_map(encoder_kind, list(prompts), model_path), EXTRACTION_DDL
+        )
     return apply_strategy(extracted, strategy, threshold)
 
 

@@ -31,6 +31,37 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — one trimmed document per line (reference run_infer.py:123-125)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path).select(F.trim("value").alias("text"))
+
+
+def read_json_arrays(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — file whose top level is a JSON array (or one array per
+    line); rows are the flattened elements (reference
+    utils/json_utils.py:71-91). Schema is inferred; pass through
+    ``spark.read.json`` options for explicit schemas at scale."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def read_csv_table(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — header CSV (reference tools/regularize_money_from_csv_results.py:171)."""
+    return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — one JSON object per line; non-ASCII kept raw like the
+    reference's ensure_ascii=False (Spark writes UTF-8 natively)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3 — header CSV sink."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         # py4j resolves missing classes to JavaPackage lazily, so probe
