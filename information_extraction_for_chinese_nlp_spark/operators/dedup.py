@@ -123,19 +123,31 @@ def simhash(docs: DataFrame, n_bits: int = 16,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
     """-> (doc_a, doc_b, jac): word-n-gram Jaccard ≥ threshold.
 
     Scalable formulation: pairs come from the shingle inverted index, so
-    disjoint documents never meet. Hot shingles are the skew risk at
-    scale — cap them (drop shingles with document frequency above a
-    bound) before the self-join.
+    disjoint documents never meet. ``max_df`` caps hot shingles — a
+    shingle appearing in more than max_df documents is dropped from the
+    index before the self-join (it contributes O(df²) candidate pairs
+    but almost no Jaccard discrimination). Set it at scale; the capped
+    Jaccard is then an under-estimate, so it can only lose borderline
+    pairs, never invent them. Sizes are computed on the UNCAPPED shingle
+    sets so reported jac stays a true lower bound of the real value.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), on="s", how="left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -9,15 +9,19 @@ Spark-native capability for continuously-arriving transcripts:
   checkpoint gives exactly-once per micro-batch, complementing the
   bucket-watermark resume of the batch path.
   Caveat: a conversation split across micro-batches is assembled per
-  batch; upstream should route whole conversations into one batch
-  (session-gap trigger or conv-complete markers) — the same contract
-  the reference's line-per-document input format implies.
+  batch — use ``assemble_stream_stateful`` upstream when batches can
+  split conversations.
+- ``assemble_stream_stateful``: custom stateful operator
+  (``applyInPandasWithState``) accumulating turns per conv_id in group
+  state and emitting the assembled document after a session gap —
+  correct cross-batch assembly with out-of-order turns.
 - ``windowed_edge_counts``: event-time tumbling window aggregation with
   a watermark for late data — the monitoring/rollup stream.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,6 +60,57 @@ def stream_edges(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def assemble_stream_stateful(
+    transcripts_stream: DataFrame,
+    gap_seconds: int = 3600,
+):
+    """Stateful cross-batch turn assembly via ``applyInPandasWithState``.
+
+    Fixes the foreachBatch caveat (conversations split across
+    micro-batches): per conv_id, turns accumulate in group state and the
+    assembled document is emitted only when the conversation has been
+    idle for ``gap_seconds`` (processing-time session gap). Ordering is
+    by turn_idx at emission, so late-arriving middle turns are handled
+    as long as they land before the gap closes.
+
+    Output: (doc_id, text, n_turns) rows, one per closed conversation.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble_group(key, pdfs, state: GroupState):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turns, = state.get
+            state.remove()
+            ordered = sorted(turns, key=lambda t: t[0])
+            text = "".join(t[1] for t in ordered)
+            yield pd.DataFrame(
+                {"doc_id": [conv_id], "text": [text], "n_turns": [len(ordered)]}
+            )
+            return
+        turns = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            turns.extend(
+                (int(i), t if t is not None else "")
+                for i, t in zip(pdf["turn_idx"], pdf["text"])
+            )
+        state.update((turns,))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        return
+        yield  # generator marker: nothing emitted while the conv is open
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        assemble_group,
+        outputStructType="doc_id string, text string, n_turns long",
+        stateStructType="turns array<struct<turn_idx:int,text:string>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def windowed_edge_counts(

@@ -3,6 +3,7 @@ reference-style oracle (per-document serial loop, like run_infer.py:127)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from information_extraction_for_chinese_nlp_spark import ENTITY_TYPES
 from information_extraction_for_chinese_nlp_spark.functions.chunking import chunk_content
@@ -73,6 +74,64 @@ def test_e2e_matches_reference_oracle(spark, transcripts):
     assert want, "oracle produced no triples — generator broken"
     # exact agreement => P = R = 1.0 >= 0.95 target
     assert got == want
+
+
+def test_span_pr_meets_target(spark, transcripts):
+    """The north_rule gate, measured the reference's way: SpanEvaluator-
+    style exact-match P/R of the Spark pipeline vs the serial
+    reference-style oracle, via the A2 join harness. Target >= 0.95."""
+    from information_extraction_for_chinese_nlp_spark.operators.evaluation import span_f1
+
+    pred = extract_triples(transcripts, max_seq_len=128).select(
+        F.col("subj").alias("doc_id"), F.col("pred").alias("prompt"), "start", "end"
+    )
+
+    docs = assemble_turns(transcripts).toPandas()
+    gold_rows = []
+    for _, row in docs.iterrows():
+        for d, p, _o, s, e, _prob in reference_style_extract(
+            row.doc_id, row.text, ENTITY_TYPES, max_seq_len=128
+        ):
+            gold_rows.append((d, p, s, e))
+    gold = spark.createDataFrame(
+        gold_rows, "doc_id string, prompt string, start int, end int"
+    )
+
+    per_class = span_f1(pred, gold).toPandas()
+    assert set(per_class.prompt) == set(ENTITY_TYPES)
+    assert (per_class.precision_ >= 0.95).all(), per_class
+    assert (per_class.recall_ >= 0.95).all(), per_class
+
+    total = span_f1(pred, gold, group_col=None).toPandas().iloc[0]
+    assert total.precision_ >= 0.95 and total.recall_ >= 0.95
+    assert total.f1 >= 0.95
+
+
+def test_jaccard_max_df_is_lower_bound(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.01, max_df=1).collect()
+    }
+    assert (1, 2) in full
+    for pair, jac in capped.items():
+        assert jac <= full[pair] + 1e-9
+    assert set(capped) <= set(full)
 
 
 def test_probability_strictly_above_threshold(spark, transcripts):
