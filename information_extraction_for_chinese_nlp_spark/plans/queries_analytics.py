@@ -1,0 +1,277 @@
+"""Analytics suite over the star schema + event stream: sessionization,
+TPC-H-style join/agg plans (broadcast dims, top-k), anti-join dedup
+keep-list, salted-aggregation parity, and quarantine routing — all
+DuckDB-oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Sessionization: event-time session windows by 30-min inactivity gap —
+# the batch analog of streaming session windows; lag + cumulative sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session tz is pinned
+    # UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style Q1: pricing summary (scan + filter pushdown + wide agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k customers by revenue: broadcast dim join + agg + deterministic rank.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name
+    )
+    SELECT c_custkey, c_name, revenue,
+           row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+    FROM rev
+    QUALIFY rank <= 10
+    """,
+)
+def top_customers(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Region revenue: chained broadcast joins through the dim hierarchy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = F.broadcast(load(spark, sf_dir, "customer"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-list via LEFT ANTI join (drop every non-canonical duplicate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_keep(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h", "keep_id")
+    )
+    # drop rows whose text hash is duplicated AND which are not the keeper
+    with_h = docs.withColumn("h", F.md5("text"))
+    losers = with_h.join(F.broadcast(dups), on="h").filter(
+        F.col("doc_id") != F.col("keep_id")
+    ).select("doc_id")
+    kept = with_h.join(losers, on="doc_id", how="left_anti")
+    return kept.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Salted two-level aggregation == plain aggregation (skew-handling parity,
+# proven against an independent engine's plain GROUP BY).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_assembly_parity",
+    """
+    SELECT user_id,
+           string_agg(event_type, '' ORDER BY ts, event_id) AS doc,
+           count(*) AS n_turns
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_assembly_parity(spark, sf_dir):
+    from ..operators.assembly import assemble_turns_salted
+
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    out = assemble_turns_salted(events, n_salts=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("user_id"),
+        F.col("text").alias("doc"),
+        F.col("n_turns").alias("n_turns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 quarantine routing: invalid gold spans (start > end / overlong) are
+# detected by the chunk UDF and routed, matching a pure-SQL validity oracle.
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ROWS = [
+    (0, "x" * 80, 2, 6),     # valid
+    (1, "y" * 80, 19, 13),   # start > end (reference error fixture)
+    (2, "z" * 80, 0, 70),    # longer than the 61-char window
+    (3, "w" * 80, 75, 79),   # valid, in a later chunk
+]
+
+
+def _quarantine_values() -> str:
+    rows = ", ".join(f"({i}, '{t}', {s}, {e})" for i, t, s, e in _QUARANTINE_ROWS)
+    return f"(VALUES {rows}) AS q(vid, text, start_, end_)"
+
+
+@register(
+    "chunk_quarantine",
+    f"""
+    SELECT vid,
+           CASE WHEN start_ > end_ OR end_ - start_ > 61
+                THEN 'quarantined' ELSE 'ok' END AS status
+    FROM {_quarantine_values()}
+    """,
+)
+def chunk_quarantine(spark, sf_dir):
+    from ..functions.chunking import make_chunk_udf
+
+    df = spark.createDataFrame(
+        _QUARANTINE_ROWS, "vid long, text string, start_ int, end_ int"
+    )
+    spans = F.array(
+        F.struct(
+            F.col("start_").alias("start"),
+            F.col("end_").alias("end"),
+            F.expr("substring(text, start_ + 1, end_ - start_)").alias("text"),
+        )
+    )
+    udf = make_chunk_udf(max_seq_len=64)  # prompt len 0 -> window 61
+    chunked = df.withColumn("_chunks", udf(F.col("text"), F.lit(""), spans))
+    return chunked.select(
+        "vid",
+        F.when(F.col("_chunks").isNull(), "quarantined").otherwise("ok").alias(
+            "status"
+        ),
+    )

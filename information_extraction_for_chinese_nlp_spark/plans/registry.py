@@ -51,5 +51,6 @@ def _load() -> None:
     from . import queries_relational  # noqa: F401
     from . import queries_extraction  # noqa: F401
     from . import queries_dataprep  # noqa: F401
+    from . import queries_analytics  # noqa: F401
 
     _LOADED = True
