@@ -68,32 +68,101 @@ class StubEncoder:
             start_probs[ks] = max(start_probs[ks], 0.30)
         return start_probs, end_probs
 
+    def extract(self, content: str, prompt: str, limit: float = 0.5):
+        """Unified encoder interface: -> [(s, e_exclusive, prob)].
 
-class OnnxEncoder:  # pragma: no cover - not available in this sandbox
-    """Real path: ONNX-exported UIE encoder + HF fast tokenizer.
+        Char-level identity offsets, so decode output maps directly."""
+        sp, ep = self.score(content, prompt)
+        return [(s, e + 1, p) for s, e, p in decode_spans(sp, ep, limit)]
 
-    Loaded lazily once per Python worker; scores padded int64 batches
-    exactly like the reference's exported static graph
-    (reference run_train.py:139-143, config/base_config.py:8-13).
+
+class UIEOnnxScorer:
+    """Real serving path: tokenizer + ONNX pointer-head session.
+
+    The full UIE dataflow (reference Taskflow internals + exported
+    static graph, run_train.py:139-143, config/base_config.py:8-13):
+
+      tokenize(prompt, content) with offsets  ->  int64 batch
+      -> session.run -> per-token start/end probs
+      -> threshold+pair decode (M3) on token indices
+      -> offset-map token spans back to content char spans (M1 inverse)
+
+    ``tokenizer`` and ``session`` are injected so the dataflow is fully
+    testable without onnxruntime/transformers in this container:
+    - tokenizer(prompt, content) -> dict with "input_ids",
+      "token_type_ids", "position_ids", "attention_mask",
+      "offset_mapping" (content-segment offsets, (0,0) for specials) —
+      the HF fast-tokenizer shape;
+    - session.run(None, feeds) -> (start_probs, end_probs) arrays of
+      shape [batch, seq].
     """
 
-    def __init__(self, model_path: str, tokenizer_name: str = "bert-base-chinese"):
+    def __init__(self, session, tokenizer, max_seq_len: int = 512,
+                 limit: float = 0.5):
+        self.session = session
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.limit = limit
+
+    def extract(self, content: str, prompt: str, limit: float | None = None):
+        """-> [(char_start, char_end_exclusive, probability)]."""
+        from ..functions.offsets import drift_offsets, spans_from_token_ids
+        from ..functions.spans import decode_spans
+
+        limit = self.limit if limit is None else limit
+        enc = self.tokenizer(prompt, content)
+        feeds = {
+            name: np.asarray([enc[name]], dtype=np.int64)
+            for name in ("input_ids", "token_type_ids", "position_ids",
+                         "attention_mask")
+            if name in enc
+        }
+        start_probs, end_probs = self.session.run(None, feeds)
+        adjusted, drift = drift_offsets(enc["offset_mapping"])
+        out = []
+        for ts, te, prob in decode_spans(start_probs[0], end_probs[0], limit):
+            if ts >= len(adjusted) or te >= len(adjusted):
+                continue
+            s_char, e_char = spans_from_token_ids(ts, te, adjusted, drift)
+            if 0 <= s_char < e_char <= len(content):
+                out.append((s_char, e_char, prob))
+        return out
+
+
+class OnnxEncoder(UIEOnnxScorer):  # pragma: no cover - libs absent here
+    """UIEOnnxScorer wired to onnxruntime + a HF fast tokenizer.
+
+    Loaded lazily once per Python worker (get_encoder cache)."""
+
+    def __init__(self, model_path: str, tokenizer_name: str = "bert-base-chinese",
+                 max_seq_len: int = 512):
         try:
-            import onnxruntime  # noqa: F401
-            from transformers import AutoTokenizer  # noqa: F401
+            import onnxruntime
+            from transformers import AutoTokenizer
         except ImportError as exc:
             raise NotImplementedError(
                 "onnxruntime/transformers not installed in this environment; "
                 "use StubEncoder or install the serving extras"
             ) from exc
-        import onnxruntime
-        from transformers import AutoTokenizer
 
-        self.session = onnxruntime.InferenceSession(model_path)
-        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name, use_fast=True)
+        session = onnxruntime.InferenceSession(model_path)
+        hf = AutoTokenizer.from_pretrained(tokenizer_name, use_fast=True)
 
-    def score(self, content: str, prompt: str):
-        raise NotImplementedError("wire tokenize → session.run → offset-map back")
+        def tokenize(prompt: str, content: str):
+            enc = hf(
+                prompt,
+                content,
+                truncation=True,
+                max_length=max_seq_len,
+                padding="max_length",
+                return_offsets_mapping=True,
+                return_token_type_ids=True,
+                return_attention_mask=True,
+            )
+            enc["position_ids"] = list(range(len(enc["input_ids"])))
+            return enc
+
+        super().__init__(session, tokenize, max_seq_len)
 
 
 _ENCODER_CACHE: dict = {}
@@ -163,17 +232,16 @@ def make_extract_map(
                     except ValueError:
                         continue
                     for chunk_idx, (chunk_start, content, _) in enumerate(chunks):
-                        sp, ep = encoder.score(content, prompt)
-                        for s, e_incl, prob in decode_spans(sp, ep, limit):
+                        for s, e_excl, prob in encoder.extract(content, prompt, limit):
                             rows.append(
                                 (
                                     doc_id,
                                     chunk_idx,
                                     chunk_start,
                                     prompt,
-                                    content[s : e_incl + 1],
+                                    content[s:e_excl],
                                     chunk_start + s,
-                                    chunk_start + e_incl + 1,
+                                    chunk_start + e_excl,
                                     float(prob),
                                 )
                             )
@@ -200,17 +268,16 @@ def make_score_map(encoder_kind: str, prompts: Sequence[str],
                 pdf["doc_id"], pdf["chunk_idx"], pdf["chunk_start"],
                 pdf["content"], pdf["prompt"],
             ):
-                sp, ep = encoder.score(content, prompt)
-                for s, e_incl, prob in decode_spans(sp, ep, limit):
+                for s, e_excl, prob in encoder.extract(content, prompt, limit):
                     rows.append(
                         (
                             doc_id,
                             int(chunk_idx),
                             int(chunk_start),
                             prompt,
-                            content[s : e_incl + 1],
+                            content[s:e_excl],
                             int(chunk_start) + s,
-                            int(chunk_start) + e_incl + 1,
+                            int(chunk_start) + e_excl,
                             float(prob),
                         )
                     )
