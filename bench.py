@@ -74,7 +74,22 @@ def build_queries(spark):
             emb, emb.filter(F.col("vec_id") < 100), k=10
         ).count(),
         "q6_quality": lambda: quality_features(docs).count(),
+        "q7_graph": lambda: _graph_count(spark, docs),
     }
+
+
+def _graph_count(spark, docs):
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_graph
+    from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from information_extraction_for_chinese_nlp_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    edges = extract_triples(transcripts_from_documents(docs))
+    vertices, canonical = build_graph(edges)
+    return vertices.count() + canonical.count()
 
 
 def n_turns_total() -> int:

@@ -330,6 +330,28 @@ def error_rate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# JSON scalar extraction over the events.props column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def props_extract(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    return events.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming analog in batch — tumbling 1h event-time window aggregation.
 # ---------------------------------------------------------------------------
 
