@@ -58,7 +58,11 @@ def chunk_content(
         raise ValueError("max_seq_len too small for prompt")
     base = max_seq_len - len(prompt) - 3
 
-    content = content.strip()
+    # NOTE: the reference strips content at read (utils/data_utils.py:33);
+    # in its data the regularize step has already removed every space and
+    # newline, so that strip is a no-op. Stripping here would shift all
+    # absolute offsets for inputs with leading whitespace the scrub list
+    # doesn't cover (\t, \r), breaking the span contract — so we don't.
     ordered = sorted(spans, key=lambda s: (s[0], s[1]))
     for s, e, _ in ordered:
         if s > e or e - s > base:

@@ -168,14 +168,15 @@ class OnnxEncoder(UIEOnnxScorer):  # pragma: no cover - libs absent here
 _ENCODER_CACHE: dict = {}
 
 
-def get_encoder(kind: str, prompts: Sequence[str], model_path: str | None = None):
+def get_encoder(kind: str, prompts: Sequence[str], model_path: str | None = None,
+                max_seq_len: int = 512):
     """Per-worker encoder singleton (one model load per executor)."""
-    key = (kind, tuple(prompts), model_path)
+    key = (kind, tuple(prompts), model_path, max_seq_len)
     if key not in _ENCODER_CACHE:
         if kind == "stub":
             _ENCODER_CACHE[key] = StubEncoder(prompts)
         elif kind == "onnx":
-            _ENCODER_CACHE[key] = OnnxEncoder(model_path)
+            _ENCODER_CACHE[key] = OnnxEncoder(model_path, max_seq_len=max_seq_len)
         else:
             raise ValueError(f"unknown encoder kind {kind!r}")
     return _ENCODER_CACHE[key]
@@ -218,19 +219,25 @@ def make_extract_map(
     """
     from ..functions.chunking import chunk_content
 
+    # configuration errors fail at plan time, not silently per document
+    for p in prompts:
+        if max_seq_len <= len(p) + 3:
+            raise ValueError(
+                f"max_seq_len={max_seq_len} too small for prompt {p!r}"
+            )
+
     def extract_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pin_worker_threads()
-        encoder = get_encoder(encoder_kind, prompts, model_path)
+        encoder = get_encoder(encoder_kind, prompts, model_path, max_seq_len)
         for pdf in batches:
             rows: List[tuple] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
                 for prompt in prompts:
-                    try:
-                        chunks = chunk_content(text, prompt, max_seq_len)
-                    except ValueError:
-                        continue
+                    # no gold spans here, so chunking cannot raise data
+                    # errors (those exist only on the training path)
+                    chunks = chunk_content(text, prompt, max_seq_len)
                     for chunk_idx, (chunk_start, content, _) in enumerate(chunks):
                         for s, e_excl, prob in encoder.extract(content, prompt, limit):
                             rows.append(
@@ -261,7 +268,7 @@ def make_score_map(encoder_kind: str, prompts: Sequence[str],
 
     def score_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pin_worker_threads()
-        encoder = get_encoder(encoder_kind, prompts, model_path)
+        encoder = get_encoder(encoder_kind, prompts, model_path)  # stub: char-level
         for pdf in batches:
             rows: List[tuple] = []
             for doc_id, chunk_idx, chunk_start, content, prompt in zip(

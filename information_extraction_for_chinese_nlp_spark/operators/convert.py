@@ -39,11 +39,16 @@ def parse_labelstudio(raw: DataFrame) -> Tuple[DataFrame, DataFrame]:
     exploded = flat.select(
         "doc_id", "text", F.explode_outer("_results").alias("r")
     )
+    # NULL-safe: a result with type=NULL must quarantine, not vanish
+    # (plain `!=` would evaluate to NULL and drop it from both frames)
     bad = exploded.filter(
-        F.col("r").isNotNull() & (F.col("r.type") != "labels")
+        F.col("r").isNotNull()
+        & ~F.col("r.type").eqNullSafe("labels")
     ).select("doc_id", F.col("r.type").alias("bad_type"))
 
-    good = exploded.filter(F.col("r").isNull() | (F.col("r.type") == "labels"))
+    good = exploded.filter(
+        F.col("r").isNull() | F.col("r.type").eqNullSafe("labels")
+    )
     spans = good.groupBy("doc_id", "text").agg(
         F.array_sort(
             F.collect_list(

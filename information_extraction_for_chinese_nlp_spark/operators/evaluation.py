@@ -46,17 +46,24 @@ def eval_counts(
         out = infer.crossJoin(label).crossJoin(correct)
 
     out = out.na.fill({"num_correct": 0, "num_infer": 0, "num_label": 0})
+    # 0/0 -> 0.0, matching SpanEvaluator.accumulate (a class with no
+    # predictions reports precision 0.0, not NULL/NaN). try_divide keeps
+    # ANSI mode (Spark 4 default) from raising DIVIDE_BY_ZERO.
+    precision = F.coalesce(
+        F.round(F.try_divide("num_correct", F.col("num_infer").cast("double")), 6),
+        F.lit(0.0),
+    )
+    recall = F.coalesce(
+        F.round(F.try_divide("num_correct", F.col("num_label").cast("double")), 6),
+        F.lit(0.0),
+    )
     return out.select(
         *group,
         "num_correct",
         "num_infer",
         "num_label",
-        F.round(F.col("num_correct") / F.col("num_infer").cast("double"), 6).alias(
-            "precision_"
-        ),
-        F.round(F.col("num_correct") / F.col("num_label").cast("double"), 6).alias(
-            "recall_"
-        ),
+        precision.alias("precision_"),
+        recall.alias("recall_"),
     )
 
 

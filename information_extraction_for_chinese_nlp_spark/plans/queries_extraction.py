@@ -84,21 +84,25 @@ def money_mentions(spark, sf_dir):
 # converted outputs, semantics of tools/regularize_money_from_csv_results.py).
 # ---------------------------------------------------------------------------
 
-_MONEY_CASES = [
-    "98,532元", "1,680元", "10000元", "2,954元",
-    "一萬五千元", "八萬元", "六百二十五元", "八十八元", "七百元",
-    "五萬三千元", "十五元", "兩千元", "一億二千萬元", "三百零五元",
-    "一千零一元", "三千500元", "3千5百元", "500萬元", "1萬2000元",
-    "五萬餘元", "1,680.50元", "一万五千元", "伍佰元", "不明", "nan",
+# (raw surface form, hand-computed golden value) — the oracle side is
+# INDEPENDENT of normalize_money so a parser regression hash-mismatches
+# instead of silently shifting both sides.
+_MONEY_GOLDEN = [
+    ("98,532元", "98532"), ("1,680元", "1680"), ("10000元", "10000"),
+    ("2,954元", "2954"), ("一萬五千元", "15000"), ("八萬元", "80000"),
+    ("六百二十五元", "625"), ("八十八元", "88"), ("七百元", "700"),
+    ("五萬三千元", "53000"), ("十五元", "15"), ("兩千元", "2000"),
+    ("一億二千萬元", "120000000"), ("三百零五元", "305"),
+    ("一千零一元", "1001"), ("三千500元", "3500"), ("3千5百元", "3500"),
+    ("500萬元", "5000000"), ("1萬2000元", "12000"), ("五萬餘元", "50000"),
+    ("1,680.50元", "168050"), ("一万五千元", "15000"), ("伍佰元", "500"),
+    ("不明", "nan"), ("nan", "nan"),
 ]
+_MONEY_CASES = [raw for raw, _ in _MONEY_GOLDEN]
 
 
 def _money_values() -> str:
-    from ..functions.money import normalize_money
-
-    rows = ", ".join(
-        f"('{raw}', '{normalize_money(raw)}')" for raw in _MONEY_CASES
-    )
+    rows = ", ".join(f"('{raw}', '{val}')" for raw, val in _MONEY_GOLDEN)
     return f"(VALUES {rows}) AS m(raw, value)"
 
 

@@ -138,5 +138,18 @@ class TableIO:
         paths = [s["path"] for s in snaps]
         return self.spark.read.parquet(*paths)
 
+    def read_snapshot(self, table: str, snapshot_id: str) -> DataFrame:
+        """Read exactly one snapshot of a table (lineage-addressed read)."""
+        if self.use_iceberg:  # pragma: no cover
+            return (
+                self.spark.read.format("iceberg")
+                .option("snapshot-id", snapshot_id)
+                .load(f"{self.warehouse}.{table}")
+            )
+        for s in self._manifest().get(table, []):
+            if s["snapshot_id"] == snapshot_id:
+                return self.spark.read.parquet(s["path"])
+        raise FileNotFoundError(f"snapshot {snapshot_id!r} of {table!r} not found")
+
     def snapshots(self, table: str) -> list[dict]:
         return self._manifest().get(table, [])

@@ -10,7 +10,8 @@ snapshots." Mechanism:
 - each completed batch appends an output snapshot (TableIO) and then a
   watermark row (bucket range, snapshot id, row count) — write order
   means a crash can leave an orphan snapshot but never a watermark
-  without data, so resume is always safe;
+  without data; the next run prunes unacknowledged snapshots before
+  reprocessing, so the crash window cannot double rows;
 - on (re)start, pending work = input LEFT ANTI JOIN watermarks on
   bucket, so completed buckets are never rescanned past the filter —
   at scale this prunes at the source when the input is bucketed or
@@ -32,7 +33,8 @@ from pyspark.sql import functions as F
 
 from .catalog import TableIO
 
-WATERMARK_SCHEMA = "bucket int, snapshot_id string, n_rows long, completed_at double"
+WATERMARK_SCHEMA = ("bucket int, snapshot_id string, snapshot_rows long, "
+                    "completed_at double")
 
 
 class ResumableRunner:
@@ -70,7 +72,9 @@ class ResumableRunner:
                     {
                         "bucket": bucket,
                         "snapshot_id": snapshot_id,
-                        "n_rows": n_rows,
+                        # row count of the SHARED snapshot this bucket
+                        # belongs to (not per-bucket rows)
+                        "snapshot_rows": n_rows,
                         "completed_at": time.time(),
                     }
                 )
@@ -88,6 +92,26 @@ class ResumableRunner:
         wm = self.watermarks().select(F.col("bucket").alias("_bucket")).distinct()
         return with_bucket.join(F.broadcast(wm), on="_bucket", how="left_anti")
 
+    def _prune_orphan_snapshots(self, table: str) -> int:
+        """Drop snapshots that have no watermark — the crash window is
+        'snapshot appended, watermark not yet written', and the batch
+        will re-run, so an orphan snapshot would double its rows."""
+        acked = set()
+        if os.path.exists(self._wm_path):
+            with open(self._wm_path) as f:
+                acked = {
+                    json.loads(line)["snapshot_id"]
+                    for line in f
+                    if line.strip()
+                }
+        m = self.io._manifest()
+        snaps = m.get(table, [])
+        orphans = [s for s in snaps if s["snapshot_id"] not in acked]
+        if orphans:
+            m[table] = [s for s in snaps if s["snapshot_id"] in acked]
+            self.io._save_manifest(m)
+        return len(orphans)
+
     def run(
         self,
         df: DataFrame,
@@ -95,14 +119,17 @@ class ResumableRunner:
         table: str,
         buckets_per_batch: int = 4,
     ) -> int:
-        """Process all pending buckets in batches; returns rows written.
+        """Process all pending buckets in batches; returns rows written
+        by THIS run (the table total is ``io.read(table).count()``).
 
-        ``process`` maps an input slice to an output DataFrame. Each
-        batch commit = output snapshot append + watermark rows. A kill
-        between batches loses nothing; a kill inside a batch re-runs
-        only that batch on resume (idempotent because the batch's
-        watermark was never written).
+        Commit order per batch: snapshot append, then one watermark row
+        per bucket (each carrying the shared snapshot_id and the
+        snapshot's total row count as ``snapshot_rows``). A kill between
+        batches loses nothing; a kill inside a batch is healed on the
+        next run by ``_prune_orphan_snapshots`` (an appended snapshot
+        without watermarks is discarded before the batch re-runs).
         """
+        self._prune_orphan_snapshots(table)
         done = self.done_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
         written = 0
@@ -111,8 +138,10 @@ class ResumableRunner:
             batch = todo[i : i + buckets_per_batch]
             part = with_bucket.filter(F.col("_bucket").isin(batch)).drop("_bucket")
             out = process(part)
-            n = out.count()
+            # write once, count what was written — running count() on the
+            # unmaterialized plan would execute the whole pipeline twice
             snapshot_id = self.io.write(out, table, mode="append")
+            n = self.io.read_snapshot(table, snapshot_id).count()
             for b in batch:
                 self._record(b, snapshot_id, n)
             written += n

@@ -5,9 +5,9 @@ Spark-native capability for continuously-arriving transcripts:
 
 - ``stream_edges``: incremental triple extraction via ``foreachBatch`` —
   each micro-batch runs the exact batch plan (one code path, no
-  batch/stream drift) and appends to the edge sink; the streaming
-  checkpoint gives exactly-once per micro-batch, complementing the
-  bucket-watermark resume of the batch path.
+  batch/stream drift). foreachBatch itself is at-least-once on retry;
+  the sink writes each batch into its own overwritten batch_id=N
+  directory, which makes replays idempotent (exactly-once at rest).
   Caveat: a conversation split across micro-batches is assembled per
   batch — use ``assemble_stream_stateful`` upstream when batches can
   split conversations.
@@ -49,8 +49,12 @@ def stream_edges(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         edges = extract_triples(batch_df, max_seq_len=max_seq_len)
-        edges.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_path
+        # overwrite INTO a per-batch directory: a replayed micro-batch
+        # (foreachBatch is at-least-once) rewrites the same directory, so
+        # the sink stays exactly-once at rest; readers load output_path
+        # and get batch_id via partition discovery.
+        edges.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
         )
 
     writer = (

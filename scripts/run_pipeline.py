@@ -86,7 +86,8 @@ def main() -> None:
     io.write(canonical_edges, "canonical_edges", mode="overwrite")
 
     print(json.dumps({
-        "edges": n_edges,
+        "edges": n_edges,  # rows written by THIS run (0 on a no-op resume)
+        "edges_total": edges.count(),
         "vertices": io.read("vertices").count(),
         "canonical_edges": io.read("canonical_edges").count(),
         "wall_sec": round(time.time() - t0, 2),

@@ -64,7 +64,15 @@ def test_overlong_span_raises():
 
 def test_empty_content_yields_nothing():
     assert chunk_content("", "p", max_seq_len=20) == []
-    assert chunk_content("   ", "p", max_seq_len=20) == []
+
+
+def test_leading_whitespace_preserves_offsets():
+    # content is NOT stripped: offsets stay absolute (a leading \t survives
+    # the scrub list, and spans are defined on the unstripped text)
+    content = "\txx98532元yy"
+    spans = [(3, 9, "98532元")]
+    chunks = chunk_content(content, "p", max_seq_len=64, spans=spans)
+    assert chunks[0][1][3:9] == "98532元"
 
 
 @given(

@@ -45,6 +45,26 @@ def test_parse_and_quarantine(spark):
     assert got == {"0", "1"}
 
 
+def test_null_type_annotation_quarantines(spark):
+    from pyspark.sql import Row
+
+    schema = (
+        "id long, data struct<text:string>, annotations array<struct<"
+        "result:array<struct<type:string,value:struct<"
+        "start:int,end:int,text:string,labels:array<string>>>>>>"
+    )
+    rec = (
+        9,
+        ("null type doc",),
+        [([(None, (0, 3, "nul", ["醫療費用"]))],)],
+    )
+    docs, bad = parse_labelstudio(spark.createDataFrame([rec], schema))
+    # NULL type must route to quarantine, not silently vanish
+    assert bad.count() == 1
+    assert bad.first().bad_type is None
+    assert docs.filter("doc_id = '9'").count() == 0
+
+
 def test_regularize_preserves_spans(spark):
     docs, _ = parse_labelstudio(_labelstudio_df(spark))
     reg = regularize_documents(docs).toPandas().set_index("doc_id")

@@ -64,6 +64,28 @@ def test_kill_and_resume(spark, tmp_path):
     assert io.read("edges").count() > partial_rows
 
 
+def test_orphan_snapshot_pruned_on_resume(spark, tmp_path):
+    """Crash window: snapshot appended but watermark never written.
+    Resume must discard the orphan, not double its rows."""
+    transcripts = synth_transcripts(spark, n_convs=16, turns_per_conv=4).cache()
+    expected = sorted(map(tuple, _edges(transcripts).collect()))
+
+    io = TableIO(spark, str(tmp_path / "wh3"))
+    runner = ResumableRunner(spark, io, n_buckets=4)
+
+    # simulate the crash: one batch's output lands as a snapshot with no
+    # watermark acknowledgment
+    first_batch = transcripts.withColumn("_b", runner.bucket_col()).filter(
+        "_b in (0, 1)"
+    ).drop("_b")
+    io.write(_edges(first_batch), "edges", mode="append")
+    assert runner.done_buckets() == set()
+
+    runner.run(transcripts, _edges, "edges", buckets_per_batch=2)
+    got = sorted(map(tuple, io.read("edges").collect()))
+    assert got == expected  # orphan pruned; no duplicated batch
+
+
 def test_pending_left_anti(spark, tmp_path):
     transcripts = synth_transcripts(spark, n_convs=20, turns_per_conv=4)
     io = TableIO(spark, str(tmp_path / "wh2"))
