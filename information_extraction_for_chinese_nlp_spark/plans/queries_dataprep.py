@@ -190,6 +190,47 @@ def embedding_topk_q(spark, sf_dir):
     return out.select("qid", "nid", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "embedding_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 1500
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.8
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the scale
+    pattern: candidates only meet inside a block; swap the label for an
+    LSH bucket on unlabeled corpora)."""
+    from ..operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("l"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("l"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, on="l")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.8)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+    )
+
+
 @register("ann_topk")  # LSH bucketing uses engine hashes — rows-only check
 def ann_topk_q(spark, sf_dir):
     from ..operators.similarity import ann_topk

@@ -105,9 +105,18 @@ class TableIO:
         os.replace(tmp, self._manifest_path)
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite",
-              partition_by: Sequence[str] = ()) -> str:
-        """Write and return the new snapshot id."""
+              partition_by: Sequence[str] = (),
+              stamp_snapshot_col: str | None = None) -> str:
+        """Write and return the new snapshot id.
+
+        ``stamp_snapshot_col``: also embed the snapshot id in every row
+        (provenance column, FIXTURES.md F7) so rows are traceable to
+        their lineage entry without joining the manifest."""
         snapshot_id = uuid.uuid4().hex[:16]
+        if stamp_snapshot_col:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(stamp_snapshot_col, F.lit(snapshot_id))
         if self.use_iceberg:  # pragma: no cover - no Iceberg jar in sandbox
             writer = df.writeTo(f"{self.warehouse}.{table}")
             if mode == "overwrite":

@@ -118,6 +118,7 @@ class ResumableRunner:
         process: Callable[[DataFrame], DataFrame],
         table: str,
         buckets_per_batch: int = 4,
+        stamp_snapshot_col: str | None = "snapshot_id",
     ) -> int:
         """Process all pending buckets in batches; returns rows written
         by THIS run (the table total is ``io.read(table).count()``).
@@ -140,7 +141,9 @@ class ResumableRunner:
             out = process(part)
             # write once, count what was written — running count() on the
             # unmaterialized plan would execute the whole pipeline twice
-            snapshot_id = self.io.write(out, table, mode="append")
+            snapshot_id = self.io.write(
+                out, table, mode="append", stamp_snapshot_col=stamp_snapshot_col
+            )
             n = self.io.read_snapshot(table, snapshot_id).count()
             for b in batch:
                 self._record(b, snapshot_id, n)

@@ -59,9 +59,12 @@ def test_kill_and_resume(spark, tmp_path):
     # resume only ran the remaining batches
     assert processed_batches["n"] == (8 - len(done_after_kill)) // 2
 
-    got = sorted(map(tuple, io.read("edges").collect()))
+    got = sorted(map(tuple, io.read("edges").drop("snapshot_id").collect()))
     assert got == expected
     assert io.read("edges").count() > partial_rows
+    # provenance: every row is stamped with a manifest-known snapshot id
+    stamped = {r.snapshot_id for r in io.read("edges").select("snapshot_id").distinct().collect()}
+    assert stamped <= {s["snapshot_id"] for s in io.snapshots("edges")}
 
 
 def test_orphan_snapshot_pruned_on_resume(spark, tmp_path):
@@ -82,7 +85,7 @@ def test_orphan_snapshot_pruned_on_resume(spark, tmp_path):
     assert runner.done_buckets() == set()
 
     runner.run(transcripts, _edges, "edges", buckets_per_batch=2)
-    got = sorted(map(tuple, io.read("edges").collect()))
+    got = sorted(map(tuple, io.read("edges").drop("snapshot_id").collect()))
     assert got == expected  # orphan pruned; no duplicated batch
 
 
