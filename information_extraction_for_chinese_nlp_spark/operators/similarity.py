@@ -114,6 +114,92 @@ def hyperplane_lsh_buckets(
     return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_assignments(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means cells over the corpus.
+
+    Returns (assignments df with `cell`, centroids list). The centroid
+    model is tiny and broadcast to score queries; training uses MLlib
+    KMeans with a fixed seed so the index is reproducible.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_cells(vec_col, centroids, n_probe: int):
+    """Indices of the n_probe nearest centroids (JVM-side expressions)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n_probe
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates come only from the query's n_probe nearest
+    cells — the scale path when brute force is too wide. Recall improves
+    with n_probe (n_probe = n_cells degenerates to exact search over a
+    partitioned corpus)."""
+    assigned, centroids = ivf_assignments(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    c = assigned.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"), "cell"
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn(
+        "cell", F.explode(_nearest_cells(F.col("qvec"), centroids, n_probe))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

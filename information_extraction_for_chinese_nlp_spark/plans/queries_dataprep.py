@@ -231,6 +231,50 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+@register("ivf_topk")  # k-means cells are engine-specific — rows-only
+def ivf_topk_q(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=8, n_probe=4)
+
+
+@register(
+    "token_counts",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS ws_tokens,
+           CAST(coalesce(list_sum(list_transform(t, w -> ceil(length(w) / 4.0))), 0)
+                AS BIGINT) AS bpeish_tokens
+    FROM toks
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Whitespace tokens + a BPE-ish proxy (each word costs
+    ceil(len/4) subword pieces — the standard chars/4 budgeting rule,
+    exact enough for data-pipeline token accounting)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    bpeish = F.aggregate(
+        F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        bpeish.alias("bpeish_tokens"),
+    )
+
+
 @register("ann_topk")  # LSH bucketing uses engine hashes — rows-only check
 def ann_topk_q(spark, sf_dir):
     from ..operators.similarity import ann_topk
