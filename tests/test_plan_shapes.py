@@ -1,0 +1,93 @@
+"""Plan-shape guarantees the 100 TB design relies on, asserted against
+the actual executed plans."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+def _executed_plan(df) -> str:
+    # collect() executes this Dataset's own QueryExecution, finalizing
+    # its AdaptiveSparkPlan (count()/write() build derived plans)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-optimization "Initial Plan" — keep
+    # only the final section
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_linker_broadcasts_alias_dict(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [(f"m{i}", "醫療費用", "98,532元") for i in range(50)],
+        "mention_id string, pred string, obj string",
+    )
+    alias = spark.createDataFrame(
+        [("98,532元", "E1", "醫療費用#98532")],
+        "alias string, canonical_id string, block_key string",
+    )
+    linked = link_entities(mentions, alias)
+    plan = _executed_plan(linked)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_flagship_has_single_exchange(spark):
+    from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from information_extraction_for_chinese_nlp_spark.sources.transcripts import (
+        synth_transcripts,
+    )
+
+    edges = extract_triples(synth_transcripts(spark, n_convs=50, turns_per_conv=5))
+    plan = _executed_plan(edges)
+    # one data movement in the hot path: the conv_id assembly shuffle
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+    assert plan.count("MapInPandas") == 1
+
+
+@pytest.mark.slow
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting engages on a pathologically skewed key
+    (thresholds lowered so the mechanism triggers at test scale).
+
+    Runs in a newSession() so the SQL-conf overrides don't leak into the
+    shared fixture session (getOrCreate() would just return it)."""
+    spark = spark.newSession()
+    for k, v in {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }.items():
+        spark.conf.set(k, v)
+    if True:
+        # 95% of left rows share one key — the hot conv_id shape
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(5_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("rv")
+        )
+        # the aggregate must reference payload or column pruning shrinks
+        # the hot partition to repeated zero keys, which compress below
+        # the skew threshold and the split never triggers
+        joined = left.join(right, on="k").select(
+            F.count_if(F.length("payload") > F.col("rv")).alias("n")
+        )
+        joined.collect()
+        # materialized AQE stages print shallowly via executedPlan();
+        # formatted explain after execution expands the final stages
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead: "coalesced and skewed"
