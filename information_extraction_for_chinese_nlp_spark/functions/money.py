@@ -50,7 +50,19 @@ def _pre_clean(money: str) -> str:
 
 
 def parse_money(money: str) -> int:
-    """Parse a cleaned money string into an int. Raises ValueError."""
+    """Parse a cleaned money string into an int. Raises ValueError.
+
+    Follows cn2an's 'smart' colloquial rule (the reference converts via
+    ``cn2an.cn2an(x, "smart")``): a SINGLE trailing digit right after a
+    unit/section char means the next-lower unit — 兩千五 -> 2500,
+    五萬三 -> 53000, 一百二 -> 120 — unless a 零 intervenes
+    (兩千零五 -> 2005) or the trailing group has several digits
+    (三千500 -> 3500, 1萬2000 -> 12000). The rule applies to CHINESE
+    digits only: colloquial forms are speech renderings, while a mixed
+    trailing Arabic digit (一千1) routes through the reference's
+    add-zero-for-missing-unit path and stays positional (-> 1001,
+    reference tools/regularize_money_from_csv_results.py:48-87).
+    """
     if not money:
         raise ValueError("empty")
     total = 0
@@ -59,6 +71,10 @@ def parse_money(money: str) -> int:
     i = 0
     n = len(money)
     seen_number = False
+    last_unit = 0       # value of the most recent unit/section char
+    tail_digits = 0     # numeral chars accumulated since that unit
+    tail_chinese = False
+    zero_after_unit = False
     while i < n:
         ch = money[i]
         if ch.isascii() and ch.isdigit():
@@ -66,32 +82,54 @@ def parse_money(money: str) -> int:
             while j < n and money[j].isascii() and money[j].isdigit():
                 j += 1
             current = current * (10 ** (j - i)) + int(money[i:j])
+            tail_digits += j - i
+            tail_chinese = False
             seen_number = True
             i = j
             continue
         if ch in _DIGITS:
             d = _DIGITS[ch]
             if d == 0:
-                # 零 is a positional placeholder; it never accumulates.
+                # 零 is a positional placeholder; it never accumulates,
+                # and it cancels the colloquial missing-unit rule. It
+                # still counts as a numeral ("零元" -> 0, cn2an parity).
+                zero_after_unit = True
+                seen_number = True
                 i += 1
                 continue
             current = current * 10 + d
+            tail_digits += 1
+            tail_chinese = True
             seen_number = True
         elif ch in _UNITS:
             section += (current if current else 1) * _UNITS[ch]
             current = 0
+            last_unit = _UNITS[ch]
+            tail_digits = 0
+            zero_after_unit = False
             seen_number = True
         elif ch in _SECTIONS:
             section = (section + current) * _SECTIONS[ch]
             total += section
             section = 0
             current = 0
+            last_unit = _SECTIONS[ch]
+            tail_digits = 0
+            zero_after_unit = False
             seen_number = True
         else:
             raise ValueError(f"unparseable char {ch!r} in {money!r}")
         i += 1
     if not seen_number:
         raise ValueError(f"no numerals in {money!r}")
+    if (
+        1 <= current <= 9
+        and tail_digits == 1
+        and tail_chinese
+        and last_unit >= 10
+        and not zero_after_unit
+    ):
+        current *= last_unit // 10
     return total + section + current
 
 

@@ -135,6 +135,53 @@ def shuffle_rows(df: DataFrame, seed: int = 1000) -> DataFrame:
     return df.orderBy(rand(seed))
 
 
+def split_hash(
+    df: DataFrame,
+    ratios: Sequence[float] = (0.8, 0.1, 0.1),
+    seed: int = 1000,
+    cols: Sequence[str] = ("doc_id",),
+    n_buckets: int = 1000,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Scale path: shuffle-free deterministic split. Each row lands in a
+    bucket by a stable hash of its key columns; cumulative-ratio
+    cutpoints over the buckets yield splits that are equal to the exact
+    split in expectation — with NO global sort and NO single-reducer
+    row_number (split_dataset funnels every row through one task for
+    the exact count; at 10⁹ rows that's a scale-killer, so this is the
+    default for large data). Same 80/10/10 cut-point arithmetic as
+    reference run_convert.py:29-44, applied to buckets instead of rows.
+
+    ``hasher``: 'xxhash64' (cheapest, JVM-native) or 'md5' (byte-portable
+    to other engines — the driver's DuckDB oracle reproduces it).
+    """
+    assert abs(sum(ratios) - 1.0) < 1e-9, "ratios must sum to 1"
+    if hasher == "xxhash64":
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
+                        F.lit(n_buckets))
+    elif hasher == "md5":
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", *[F.col(c) for c in cols], F.lit(seed))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % n_buckets
+        )
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    cut1 = round(ratios[0] * n_buckets)
+    cut2 = round((ratios[0] + ratios[1]) * n_buckets)
+    split = (
+        F.when(bucket < cut1, "train")
+        .when(bucket < cut2, "dev")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
 def split_dataset(
     df: DataFrame,
     ratios: Sequence[float] = (0.8, 0.1, 0.1),
@@ -143,7 +190,10 @@ def split_dataset(
 ) -> DataFrame:
     """Deterministic exact-count split: shuffle by seeded hash, cut at
     round(n * cumulative_ratio) (reference run_convert.py:29-44
-    arithmetic). Adds a `split` column in {train, dev, test}."""
+    arithmetic). Adds a `split` column in {train, dev, test}.
+
+    The global row_number funnels all rows through one reducer — use
+    only for small curated sets; ``split_hash`` is the scale path."""
     assert abs(sum(ratios) - 1.0) < 1e-9, "ratios must sum to 1"
     h = F.xxhash64(*[F.col(c) for c in order_cols], F.lit(seed))
     w = Window.orderBy(h, *order_cols)

@@ -64,27 +64,42 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, n_seeds: int = 4,
+def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_a, doc_b) candidate near-dup pairs sharing a full band."""
-    sigs = minhash_signatures(docs, n_seeds, id_col, text_col)
-    band = sigs.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s["minhash"],
-            ),
-            "|",
-        ).alias("band")
+    """-> (doc_a, doc_b) candidate near-dup pairs sharing at least one band.
+
+    Standard b×r banding: signature of n_bands*rows_per_band minhashes,
+    split into n_bands bands of rows_per_band each; a pair is a
+    candidate iff some band matches exactly. Detection probability for
+    Jaccard s is 1-(1-s^r)^b — the default (b=4, r=2) catches a
+    0.8-Jaccard pair with p≈0.98 (a single band of 4 rows would only
+    manage ≈0.41). The pair join carries band_id in the key, so all
+    bands resolve in ONE shuffle; duplicates across bands collapse with
+    a distinct on the output pairs (output-bound, never all-pairs).
+    """
+    sigs = minhash_signatures(docs, n_bands * rows_per_band, id_col, text_col)
+    band = (
+        sigs.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                "|",
+            ).alias("band")
+        )
     )
     a = band.alias("a")
     b = band.alias("b")
     return (
-        a.join(b, on="band")
+        a.join(b, on=["band_id", "band"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
     )
 
 

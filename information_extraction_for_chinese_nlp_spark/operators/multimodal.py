@@ -9,6 +9,12 @@ NotImplementedError at the exact seam where PIL/libav would plug in,
 and ``codec='fake'`` produces deterministic bytes-derived values so the
 downstream dataflow (feature vectors, frame sampling, joins back to
 documents) is exercised end-to-end.
+
+Engine portability: every synthetic field and content fingerprint is
+derived from md5/sha256 over HEX STRINGS (never raw blobs), because the
+DuckDB oracle can only hash VARCHAR — so ``synth_assets`` +
+``extract_features`` + ``sample_frames`` are reproducible in ANSI-ish
+SQL and the driver gate hash-compares them end-to-end.
 """
 
 from __future__ import annotations
@@ -21,9 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
-    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -51,17 +55,43 @@ FEATURES_DDL = (
 
 FRAMES_DDL = "asset_id long, frame_idx int, frame_ts_ms int, frame_sha string"
 
+_MODALITIES = ("image", "audio", "video")
+
 
 def synth_assets(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake binary assets (payload = repeated md5 bytes)."""
+    """Deterministic fake binary assets (payload = repeated md5 bytes).
+
+    Every derived field is a pure function of md5 hex characters, so a
+    SQL oracle reproduces the table byte-for-byte (see
+    plans/queries_extraction.py multimodal entries).
+    """
+    payload_hex = F.repeat(F.md5(F.concat(F.lit("asset"), "id")), 4)
+    # modality index: first hex digit of md5('mod#<seed>#<id>') mod 3
+    mod_idx = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat_ws("#", F.lit("mod"), F.lit(seed), "id")), 1, 1),
+        )
+        - 1
+    ) % 3
+    # duration: 1000 + (first byte of md5('dur#<seed>#<id>')) * 16 ms
+    dur = (
+        F.lit(1000)
+        + F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit("dur"), F.lit(seed), "id")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        * 16
+    )
     base = spark.range(n).select(
         F.col("id").alias("asset_id"),
         (F.col("id") % 20).alias("doc_id"),
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+            F.array(*[F.lit(m) for m in _MODALITIES]), (mod_idx + 1).cast("int")
         ).alias("modality"),
-        F.unhex(F.repeat(F.md5(F.concat(F.lit("asset"), "id")), 4)).alias("data"),
+        F.unhex(payload_hex).alias("data"),
+        dur.alias("duration_ms"),
     )
     return base.select(
         "asset_id",
@@ -71,9 +101,7 @@ def synth_assets(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame
         F.concat(F.lit("application/x-fake-"), "modality").alias("mime"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
-        (F.pmod(F.xxhash64("asset_id", F.lit(seed + 1)), 10000) + 1000)
-        .cast("int")
-        .alias("duration_ms"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
     )
 
 
@@ -84,6 +112,13 @@ def _fake_feature(data: bytes, dim: int) -> np.ndarray:
     v = (rng.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
     n = np.linalg.norm(v)
     return (v / n if n else v).astype(np.float32)
+
+
+def content_fingerprint(blob: bytes) -> str:
+    """sha256 over the LOWERCASE HEX encoding of the payload — the
+    portable content hash (DuckDB's sha256 only accepts VARCHAR, so
+    fingerprints are defined over hex text in both engines)."""
+    return hashlib.sha256(blob.hex().encode("ascii")).hexdigest()
 
 
 def make_feature_map(dim: int = 16, codec: str = "fake"):
@@ -110,7 +145,7 @@ def make_feature_map(dim: int = 16, codec: str = "fake"):
                         modality,
                         _fake_feature(blob, dim).tolist(),
                         len(blob),
-                        hashlib.sha256(blob).hexdigest(),
+                        content_fingerprint(blob),
                     )
                 )
             yield pd.DataFrame(
@@ -124,6 +159,14 @@ def make_feature_map(dim: int = 16, codec: str = "fake"):
 def extract_features(assets: DataFrame, dim: int = 16, codec: str = "fake") -> DataFrame:
     cols = assets.select("asset_id", "modality", "data")
     return cols.mapInPandas(make_feature_map(dim, codec), FEATURES_DDL)
+
+
+def feature_digest(col):
+    """Stable scalar fingerprint of an array<float> column (md5 over
+    6-decimal renderings) — arrays can't cross the driver's pandas
+    canonicalizer, so gate projections use this instead of the raw
+    vector."""
+    return F.md5(F.concat_ws(",", F.transform(col, lambda x: F.format_number(x, 6))))
 
 
 def make_frame_sample_map(every_ms: int = 1000, codec: str = "fake"):
@@ -142,7 +185,11 @@ def make_frame_sample_map(every_ms: int = 1000, codec: str = "fake"):
             ):
                 blob = bytes(data) if data is not None else b""
                 for i, ts in enumerate(range(0, int(duration), every_ms)):
-                    fp = hashlib.sha256(blob + ts.to_bytes(4, "big")).hexdigest()
+                    # frame hash keyed by payload hex + 8-hex-digit ts
+                    # (portable: sha256 over text in both engines)
+                    fp = hashlib.sha256(
+                        (blob.hex() + format(ts, "08x")).encode("ascii")
+                    ).hexdigest()
                     rows.append((int(asset_id), i, ts, fp))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "frame_idx", "frame_ts_ms", "frame_sha"]

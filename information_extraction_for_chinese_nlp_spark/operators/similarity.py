@@ -200,27 +200,68 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _probe_buckets(bucket_col, n_planes: int, max_hamming: int):
+    """Array of bucket codes within Hamming distance ``max_hamming`` of
+    the query's code (multiprobe LSH: instead of many hash tables, one
+    table probed at the nearest few codes — Lv et al., VLDB'07). The
+    flip masks are enumerated at plan time (combinatorial in
+    ``max_hamming``, tiny for d ≤ 2) and applied JVM-side."""
+    from itertools import combinations
+
+    def flip(positions):
+        out = bucket_col
+        for p in positions:
+            ch = F.substring(out, p + 1, 1)
+            flipped = F.when(ch == "1", "0").otherwise("1")
+            out = F.concat(
+                F.substring(out, 1, p),
+                flipped,
+                F.substring(out, p + 2, n_planes - p - 1),
+            )
+        return out
+
+    probes = [bucket_col]
+    for d in range(1, max_hamming + 1):
+        probes.extend(flip(c) for c in combinations(range(n_planes), d))
+    return F.array(*probes)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     n_planes: int = 6,
+    max_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket."""
+    """Approximate top-k via multiprobe hyperplane LSH: the corpus is
+    bucketed ONCE; each (small, broadcast) query probes every bucket
+    within ``max_hamming`` bit flips of its own code. Recall rises
+    steeply with the probe radius while the corpus-side cost stays a
+    single bucketing pass + one bucket-keyed join — the scale path when
+    brute force is too wide. ``max_hamming=0`` is the classic
+    single-bucket probe."""
     cb = hyperplane_lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
-    qb = hyperplane_lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).join(
         cb.select(F.col("vec_id").alias("nid"), "bucket"), "nid"
     )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).join(
-        qb.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .join(qb.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
+        .withColumn(
+            "bucket",
+            F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)),
+        )
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
+        # a neighbor can surface from several probe buckets — dedup
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -69,18 +69,21 @@ def minhash_signatures_q(spark, sf_dir):
       FROM seeded GROUP BY doc_id, seed
     ),
     band AS (
-      SELECT doc_id, string_agg(minhash, '|' ORDER BY seed) AS band
-      FROM sigs GROUP BY doc_id
+      SELECT doc_id, seed // 2 AS band_id,
+             string_agg(minhash, '|' ORDER BY seed) AS band
+      FROM sigs GROUP BY doc_id, band_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b USING (band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b USING (band_id, band)
     WHERE a.doc_id < b.doc_id
     """,
 )
 def minhash_lsh_pairs_q(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), n_seeds=4)
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_bands=2, rows_per_band=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -193,10 +196,19 @@ def embedding_topk_q(spark, sf_dir):
 @register(
     "embedding_near_dup",
     """
-    WITH v AS (
+    WITH base AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1500
+      UNION ALL
+      -- planted near-dups: scaled clones of the first 5 vectors
+      -- (cosine is scale-invariant, so each (i, i+100000) pair scores 1.0)
+      SELECT vec_id + 100000 AS vec_id, label,
+             list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id < 5
+    ),
+    v AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings WHERE vec_id < 1500
+      FROM base
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.e, b.e)
@@ -210,10 +222,24 @@ def embedding_topk_q(spark, sf_dir):
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label (the scale
     pattern: candidates only meet inside a block; swap the label for an
-    LSH bucket on unlabeled corpora)."""
+    LSH bucket on unlabeled corpora). The input is salted with scaled
+    clones of the first 5 vectors so the gate compares a NON-EMPTY pair
+    set at every scale factor (a 0-row match would certify nothing)."""
     from ..operators.similarity import cosine
 
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    clones = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 2.0).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    emb = base.unionByName(clones)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("l"),
         F.col("embedding").alias("ea"),
@@ -231,12 +257,36 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
-@register("ivf_topk")  # k-means cells are engine-specific — rows-only
+def _clone_queries(emb, scale: float | None):
+    """First 5 corpus vectors re-issued as queries under new ids;
+    ``scale`` multiplies the vector (cosine- and hyperplane-invariant)."""
+    vec = (
+        F.transform("embedding", lambda x: (x.cast("double") * scale).cast("float"))
+        if scale is not None
+        else F.col("embedding")
+    )
+    return emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), vec.alias("embedding")
+    )
+
+
+@register(
+    "ivf_topk",
+    "SELECT vec_id + 100000 AS qid, 1.0 AS top1_sim FROM embeddings WHERE vec_id < 5",
+)
 def ivf_topk_q(spark, sf_dir):
+    """Self-consistency recall oracle: each query is an exact clone of a
+    corpus vector, so its own IVF cell is the nearest centroid and the
+    original MUST come back at rank 1 with cosine 1.0 — any bucketing,
+    probe-pruning, scoring, or ranking defect breaks the pinned value.
+    (Statistical recall vs brute force on natural queries is pinned in
+    tests/test_ann.py — k-means cells are engine-specific, so that part
+    has no SQL oracle.)"""
     from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=8, n_probe=4)
+    out = ivf_topk(emb, _clone_queries(emb, None), k=3, n_cells=8, n_probe=4)
+    return out.filter(F.col("rank") == 1).select("qid", F.col("sim").alias("top1_sim"))
 
 
 @register(
@@ -275,12 +325,22 @@ def token_counts(spark, sf_dir):
     )
 
 
-@register("ann_topk")  # LSH bucketing uses engine hashes — rows-only check
+@register(
+    "ann_topk",
+    "SELECT vec_id + 100000 AS qid, 1.0 AS top1_sim FROM embeddings WHERE vec_id < 5",
+)
 def ann_topk_q(spark, sf_dir):
+    """Self-consistency recall oracle for multiprobe hyperplane LSH:
+    queries are ×2-SCALED clones — hyperplane sign buckets are
+    scale-invariant, so the clone probes its original's bucket and must
+    retrieve cosine 1.0 at rank 1. Pins bucketing determinism AND its
+    scale-invariance, the join, scoring, and ranking. (Recall on
+    perturbed near-dups is pinned in tests/test_ann.py.)"""
     from ..operators.similarity import ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_planes=6)
+    out = ann_topk(emb, _clone_queries(emb, 2.0), k=3, n_planes=6, max_hamming=1)
+    return out.filter(F.col("rank") == 1).select("qid", F.col("sim").alias("top1_sim"))
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,9 @@ _MONEY_GOLDEN = [
     ("一千零一元", "1001"), ("三千500元", "3500"), ("3千5百元", "3500"),
     ("500萬元", "5000000"), ("1萬2000元", "12000"), ("五萬餘元", "50000"),
     ("1,680.50元", "168050"), ("一万五千元", "15000"), ("伍佰元", "500"),
+    # colloquial missing-unit forms (cn2an 'smart' semantics)
+    ("兩千五", "2500"), ("五萬三", "53000"), ("一百二", "120"),
+    ("一億二", "120000000"), ("兩千零五", "2005"), ("三千50", "3050"),
     ("不明", "nan"), ("nan", "nan"),
 ]
 _MONEY_CASES = [raw for raw, _ in _MONEY_GOLDEN]
@@ -237,21 +240,124 @@ def graph_vertices(spark, sf_dir):
     return vertices
 
 
-@register("multimodal_features")
+def _synth_assets_cte(n: int = 200, seed: int = 42) -> str:
+    """DuckDB CTE reproducing operators.multimodal.synth_assets — every
+    field is md5-hex-derived, so the SQL is byte-identical to Spark."""
+    return f"""
+    ids AS (SELECT unnest(range(0, {n})) AS asset_id),
+    synth AS (
+      SELECT asset_id,
+             repeat(md5(concat('asset', asset_id)), 4) AS payload_hex,
+             (['image','audio','video'])[
+               ((strpos('0123456789abcdef',
+                        substring(md5(concat('mod#{seed}#', asset_id)), 1, 1)) - 1) % 3) + 1
+             ] AS modality,
+             1000 + ('0x' || substring(md5(concat('dur#{seed}#', asset_id)), 1, 2))::INT * 16
+               AS duration_ms
+      FROM ids)
+    """
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH {_synth_assets_cte()}
+    SELECT asset_id, modality,
+           octet_length(unhex(payload_hex)) AS n_bytes,
+           sha256(payload_hex) AS content_sha
+    FROM synth
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """Feature-extraction mapInPandas stage, gate-projected to the
+    scalar columns (the array<float> vector itself can't cross the
+    driver's pandas canonicalizer — it's fingerprinted in
+    `multimodal_feature_vec`)."""
     from ..operators.multimodal import extract_features, synth_assets
 
-    return extract_features(synth_assets(spark, n=200), dim=16)
+    feats = extract_features(synth_assets(spark, n=200), dim=16)
+    return feats.select("asset_id", "modality", "n_bytes", "content_sha")
 
 
-@register("frame_sampling")
+@register(
+    "frame_sampling",
+    f"""
+    WITH {_synth_assets_cte()},
+    vids AS (SELECT asset_id, payload_hex, duration_ms FROM synth WHERE modality = 'video'),
+    frames AS (
+      SELECT asset_id, payload_hex,
+             unnest(range(0, duration_ms, 1000)) AS ts
+      FROM vids
+    )
+    SELECT asset_id,
+           ts // 1000 AS frame_idx,
+           ts AS frame_ts_ms,
+           sha256(concat(payload_hex, lpad(lower(to_hex(ts)), 8, '0'))) AS frame_sha
+    FROM frames
+    """,
+)
 def frame_sampling(spark, sf_dir):
     from ..operators.multimodal import sample_frames, synth_assets
 
-    return sample_frames(synth_assets(spark, n=200), every_ms=1000)
+    out = sample_frames(synth_assets(spark, n=200), every_ms=1000)
+    return out.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        "frame_sha",
+    )
 
 
-@register("entity_link_scored")
+_LINK_ALIASES = [
+    ("98,532元", "E1", "醫療費用#98532"),
+    ("1,680元", "E2", "醫療費用#1680"),
+    ("45,000元", "E3", "醫療費用#45000"),
+]
+
+
+def _bigrams_sql(col: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({col}) - 1, 0) + 1), "
+        f"i -> substring({col}, CAST(i AS INT), 2)))"
+    )
+
+
+@register(
+    "entity_link_scored",
+    f"""
+    WITH mentions AS (
+      SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
+      FROM {_verdicts_values()}
+    ),
+    m AS (
+      SELECT concat(vid, '#', mention) AS mention_id,
+             '醫療費用' AS pred, mention AS obj,
+             concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
+      FROM mentions
+    ),
+    d AS (
+      SELECT * FROM (VALUES {", ".join(f"('{a}', '{c}', '{b}')" for a, c, b in _LINK_ALIASES)})
+        AS d(alias, canonical_id, block_key)
+    ),
+    cand AS (
+      SELECT m.mention_id, m.pred, m.obj, d.alias, d.canonical_id,
+             {_bigrams_sql("m.obj")} AS ga,
+             {_bigrams_sql("d.alias")} AS gb
+      FROM m LEFT JOIN d USING (block_key)
+    ),
+    scored AS (
+      SELECT mention_id, pred, obj, canonical_id,
+             CASE WHEN alias IS NULL THEN 0.0
+                  ELSE len(list_intersect(ga, gb))::DOUBLE
+                       / len(list_distinct(list_concat(ga, gb))) END AS score
+      FROM cand
+    )
+    SELECT mention_id, pred, obj,
+           CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
+           round(score, 6) AS score
+    FROM scored
+    """,
+)
 def entity_link_scored(spark, sf_dir):
     from ..operators.linking import link_entities
 
@@ -261,11 +367,6 @@ def entity_link_scored(spark, sf_dir):
         F.col("mention").alias("obj"),
     )
     alias_df = spark.createDataFrame(
-        [
-            ("98,532元", "E1", "醫療費用#98532"),
-            ("1,680元", "E2", "醫療費用#1680"),
-            ("45,000元", "E3", "醫療費用#45000"),
-        ],
-        "alias string, canonical_id string, block_key string",
+        _LINK_ALIASES, "alias string, canonical_id string, block_key string"
     )
     return link_entities(mentions, alias_df, threshold=0.3)

@@ -205,14 +205,20 @@ def top1_per_group(spark, sf_dir):
          ),
          infer AS (SELECT event_type, count(*) AS num_infer FROM pred GROUP BY event_type),
          label AS (SELECT event_type, count(*) AS num_label FROM gold GROUP BY event_type)
-    SELECT i.event_type,
+    SELECT event_type,
            coalesce(c.num_correct, 0) AS num_correct,
-           i.num_infer,
-           l.num_label,
-           round(coalesce(c.num_correct, 0) / CAST(i.num_infer AS DOUBLE), 6) AS precision_,
-           round(coalesce(c.num_correct, 0) / CAST(l.num_label AS DOUBLE), 6) AS recall_
+           coalesce(i.num_infer, 0) AS num_infer,
+           coalesce(l.num_label, 0) AS num_label,
+           CASE WHEN coalesce(i.num_infer, 0) = 0 THEN 0.0
+                ELSE round(coalesce(c.num_correct, 0) / CAST(i.num_infer AS DOUBLE), 6)
+           END AS precision_,
+           CASE WHEN coalesce(l.num_label, 0) = 0 THEN 0.0
+                ELSE round(coalesce(c.num_correct, 0) / CAST(l.num_label AS DOUBLE), 6)
+           END AS recall_
+    -- FULL OUTER: a class present only in pred (or only in gold) still
+    -- reports a row, matching eval_counts' full-join semantics
     FROM infer i
-    JOIN label l USING (event_type)
+    FULL OUTER JOIN label l USING (event_type)
     LEFT JOIN correct c USING (event_type)
     """,
 )
@@ -261,6 +267,37 @@ def split_counts(spark, sf_dir):
         .otherwise("test")
     )
     return ranked.groupBy(split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# A4 scale path — shuffle-free hash split (equal to the exact split in
+# expectation; no single-reducer global sort). md5 hasher so DuckDB
+# reproduces the bucketing bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_hash_counts",
+    """
+    WITH b AS (
+      SELECT ('0x' || substring(md5(concat(doc_id, '#', 1000)), 1, 8))::BIGINT % 1000
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'dev'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b
+    GROUP BY 1
+    """,
+)
+def split_hash_counts(spark, sf_dir):
+    from ..operators.convert import split_hash
+
+    docs = load(spark, sf_dir, "documents")
+    out = split_hash(docs, cols=("doc_id",), seed=1000, hasher="md5")
+    return out.groupBy("split").agg(F.count("*").alias("n_docs"))
 
 
 # ---------------------------------------------------------------------------

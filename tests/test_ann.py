@@ -1,8 +1,11 @@
-"""ANN paths: IVF recall vs brute force; LSH bucket determinism."""
+"""ANN paths: IVF recall vs brute force; LSH bucket determinism;
+multiprobe LSH recall on planted near-duplicates."""
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+    ann_topk,
     brute_force_topk,
     hyperplane_lsh_buckets,
     ivf_topk,
@@ -26,6 +29,40 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     # full probe = exact search
     full = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=8).toPandas()
     assert set(zip(full.qid, full.nid)) == exact_pairs
+
+
+def test_multiprobe_lsh_recall_on_near_dups(spark):
+    """Perturbed clones (cos ≈ 0.97) must be retrieved by multiprobe
+    LSH: per-bit agreement p = 1 - θ/π ≈ 0.92, so probing Hamming
+    radius 2 over 6 planes predicts ≈0.98 recall; radius must be
+    monotone (more probes can only add candidates)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 16).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    n_q = 40
+    noise = rng.randn(n_q, 16).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    queries_np = base[:n_q] + 0.25 * noise  # cosine ≈ 0.97 to base[i]
+
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10_000 + i, queries_np[i].tolist()) for i in range(n_q)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def recall(max_hamming):
+        got = ann_topk(corpus, queries, k=3, n_planes=6, max_hamming=max_hamming)
+        hits = {
+            r.qid for r in got.collect() if r.nid == r.qid - 10_000
+        }
+        return len(hits) / n_q
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= 0.8, f"multiprobe d=2 recall {r2}"
+    assert r2 >= r0
 
 
 def test_lsh_buckets_deterministic(spark, sf_dir):

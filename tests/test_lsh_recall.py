@@ -1,0 +1,48 @@
+"""Multi-band MinHash LSH recall on planted near-duplicate pairs.
+
+b×r banding theory: detection probability of a Jaccard-s pair is
+1-(1-s^r)^b. For s≈0.82 the default (b=4, r=2) predicts ≈0.98 recall,
+while the single-band shape (b=1, r=8) predicts ≈0.17 — the recall test
+pins the banded implementation actually delivering the former.
+"""
+
+from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+    minhash_lsh_pairs,
+)
+
+N_PAIRS = 20
+
+
+def _planted_docs(spark):
+    rows = []
+    for i in range(N_PAIRS):
+        base = [f"w{i}_{j}" for j in range(20)]
+        near = base[:18] + [f"x{i}_a", f"x{i}_b"]  # Jaccard = 18/22 ≈ 0.82
+        rows.append((f"a{i:02d}", " ".join(base)))
+        rows.append((f"b{i:02d}", " ".join(near)))
+    for i in range(10):  # unrelated distractors
+        rows.append((f"z{i:02d}", " ".join(f"u{i}_{j}" for j in range(20))))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _recall(pairs_df) -> float:
+    got = {tuple(r) for r in pairs_df.select("doc_a", "doc_b").collect()}
+    planted = {(f"a{i:02d}", f"b{i:02d}") for i in range(N_PAIRS)}
+    return len(got & planted) / len(planted)
+
+
+def test_banded_lsh_recall(spark):
+    docs = _planted_docs(spark)
+    banded = _recall(minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2))
+    assert banded >= 0.8, f"banded recall {banded}"
+    # single full-width band (the round-1 shape) must not beat banding
+    single = _recall(minhash_lsh_pairs(docs, n_bands=1, rows_per_band=8))
+    assert single <= banded
+
+
+def test_lsh_no_cross_pair_leakage(spark):
+    docs = _planted_docs(spark)
+    got = {tuple(r) for r in
+           minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2).collect()}
+    # distractors share no tokens with anything: they can never pair
+    assert not any(a.startswith("z") or b.startswith("z") for a, b in got)

@@ -51,6 +51,43 @@ def test_flagship_has_single_exchange(spark):
     assert plan.count("MapInPandas") == 1
 
 
+def test_split_hash_is_shuffle_free(spark):
+    """The scale-path split must stay embarrassingly parallel: no
+    Exchange, no Sort, no Window — a pure project over the scan (the
+    exact-count split_dataset's Window.orderBy funnels everything
+    through ONE task; split_hash is the 10⁹-row default)."""
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        split_hash,
+        split_dataset,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("p").alias("prompt"),
+        F.lit(0).alias("chunk_idx"),
+    )
+    plan = _executed_plan(split_hash(df))
+    for op in ("Exchange", "Sort", "Window"):
+        assert op not in plan, f"{op} in split_hash plan:\n{plan}"
+
+    # fractions converge on the ratios (hash-mod is equal in expectation)
+    counts = dict(
+        split_hash(df).groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.03
+    assert abs(counts["dev"] / 10_000 - 0.1) < 0.02
+    assert abs(counts["test"] / 10_000 - 0.1) < 0.02
+
+    # both hashers produce a three-way split with the same guarantees
+    md5_counts = dict(
+        split_hash(df, hasher="md5").groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert set(md5_counts) == {"train", "dev", "test"}
+
+    # contrast: the exact split (kept for small curated sets) does sort
+    exact_plan = _executed_plan(split_dataset(df))
+    assert "Window" in exact_plan
+
+
 @pytest.mark.slow
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join splitting engages on a pathologically skewed key
