@@ -46,7 +46,9 @@ def build_queries(spark):
         simhash,
     )
     from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ann_topk,
         brute_force_topk,
+        ivf_topk,
     )
     from information_extraction_for_chinese_nlp_spark.operators.textstats import (
         quality_features,
@@ -65,13 +67,26 @@ def build_queries(spark):
         long_conv_every=100, long_conv_turns=500,
     )
 
+    queries = emb.filter(F.col("vec_id") < 100)
     return {
         "q1_triples": lambda: extract_triples(transcripts).count(),
-        "q2_dedup_minhash": lambda: minhash_lsh_pairs(docs, n_seeds=4).count(),
-        "q3_ngram_jaccard": lambda: ngram_jaccard_pairs(docs, n=3, threshold=0.1).count(),
+        # banded LSH (b=2, r=2): same 4-hash budget as round 1, real recall
+        "q2_dedup_minhash": lambda: minhash_lsh_pairs(
+            docs, n_bands=2, rows_per_band=2
+        ).count(),
+        # max_df caps hot shingles — the setting the 100 TB run needs
+        # (an uncapped hot shingle contributes O(df²) candidate pairs)
+        "q3_ngram_jaccard": lambda: ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, max_df=100
+        ).count(),
         "q4_simhash": lambda: simhash(docs).count(),
-        "q5_ann_topk": lambda: brute_force_topk(
-            emb, emb.filter(F.col("vec_id") < 100), k=10
+        "q5_bruteforce_topk": lambda: brute_force_topk(emb, queries, k=10).count(),
+        # the actual ANN scale paths, timed as headline queries
+        "q5b_lsh_ann": lambda: ann_topk(
+            emb, queries, k=10, n_planes=6, max_hamming=1
+        ).count(),
+        "q5c_ivf_ann": lambda: ivf_topk(
+            emb, queries, k=10, n_cells=16, n_probe=4
         ).count(),
         "q6_quality": lambda: quality_features(docs).count(),
         "q7_graph": lambda: _graph_count(spark, docs),

@@ -75,6 +75,12 @@ class StubEncoder:
         sp, ep = self.score(content, prompt)
         return [(s, e + 1, p) for s, e, p in decode_spans(sp, ep, limit)]
 
+    def extract_batch(self, items: Sequence[Tuple[str, str]], limit: float = 0.5):
+        """[(content, prompt)] -> list of span lists (regex stub has no
+        batching win; the method exists so callers have ONE code shape
+        for stub and real serving)."""
+        return [self.extract(content, prompt, limit) for content, prompt in items]
+
 
 class UIEOnnxScorer:
     """Real serving path: tokenizer + ONNX pointer-head session.
@@ -106,26 +112,55 @@ class UIEOnnxScorer:
 
     def extract(self, content: str, prompt: str, limit: float | None = None):
         """-> [(char_start, char_end_exclusive, probability)]."""
+        return self.extract_batch([(content, prompt)], limit)[0]
+
+    def extract_batch(
+        self, items: Sequence[Tuple[str, str]], limit: float | None = None
+    ):
+        """[(content, prompt)] -> per-item span lists, with ONE
+        ``session.run`` for the whole batch: every item is tokenized,
+        the int64 feeds are zero-padded to the batch's max sequence
+        length and stacked on the batch axis, and the pointer heads
+        score all rows in a single forward pass — the serving contract
+        the reference gets from ``batch_size=16``
+        (run_infer.py:110, config/base_config.py:185-190). Scoring
+        chunk-at-a-time would forfeit the entire GPU/CPU batching win.
+        """
         from ..functions.offsets import drift_offsets, spans_from_token_ids
         from ..functions.spans import decode_spans
 
         limit = self.limit if limit is None else limit
-        enc = self.tokenizer(prompt, content)
+        if not items:
+            return []
+        encs = [self.tokenizer(prompt, content) for content, prompt in items]
+        names = [
+            n
+            for n in ("input_ids", "token_type_ids", "position_ids",
+                      "attention_mask")
+            if n in encs[0]
+        ]
+        width = max(len(e["input_ids"]) for e in encs)
         feeds = {
-            name: np.asarray([enc[name]], dtype=np.int64)
-            for name in ("input_ids", "token_type_ids", "position_ids",
-                         "attention_mask")
-            if name in enc
+            name: np.asarray(
+                [list(e[name]) + [0] * (width - len(e[name])) for e in encs],
+                dtype=np.int64,
+            )
+            for name in names
         }
         start_probs, end_probs = self.session.run(None, feeds)
-        adjusted, drift = drift_offsets(enc["offset_mapping"])
         out = []
-        for ts, te, prob in decode_spans(start_probs[0], end_probs[0], limit):
-            if ts >= len(adjusted) or te >= len(adjusted):
-                continue
-            s_char, e_char = spans_from_token_ids(ts, te, adjusted, drift)
-            if 0 <= s_char < e_char <= len(content):
-                out.append((s_char, e_char, prob))
+        for i, ((content, _prompt), enc) in enumerate(zip(items, encs)):
+            adjusted, drift = drift_offsets(enc["offset_mapping"])
+            spans = []
+            for ts, te, prob in decode_spans(start_probs[i], end_probs[i], limit):
+                # padded tail probs are zero; real pointers past the
+                # offset map (specials/truncation) are dropped
+                if ts >= len(adjusted) or te >= len(adjusted):
+                    continue
+                s_char, e_char = spans_from_token_ids(ts, te, adjusted, drift)
+                if 0 <= s_char < e_char <= len(content):
+                    spans.append((s_char, e_char, prob))
+            out.append(spans)
         return out
 
 
@@ -199,23 +234,58 @@ EXTRACTION_DDL = (
 )
 
 
+def _score_chunk_items(encoder, metas: List[tuple], limit: float,
+                       serving_batch_size: int) -> List[tuple]:
+    """metas = (doc_id, chunk_idx, chunk_start, content, prompt) rows ->
+    decoded EXTRACTION_COLUMNS rows, scored through
+    ``encoder.extract_batch`` in sub-batches of ``serving_batch_size``
+    (one forward pass per sub-batch; one pass per Arrow batch whenever
+    the batch fits)."""
+    rows: List[tuple] = []
+    for off in range(0, len(metas), serving_batch_size):
+        sub = metas[off : off + serving_batch_size]
+        span_lists = encoder.extract_batch(
+            [(content, prompt) for _, _, _, content, prompt in sub], limit
+        )
+        for (doc_id, chunk_idx, chunk_start, content, prompt), spans in zip(
+            sub, span_lists
+        ):
+            for s, e_excl, prob in spans:
+                rows.append(
+                    (
+                        doc_id,
+                        chunk_idx,
+                        chunk_start,
+                        prompt,
+                        content[s:e_excl],
+                        chunk_start + s,
+                        chunk_start + e_excl,
+                        float(prob),
+                    )
+                )
+    return rows
+
+
 def make_extract_map(
     encoder_kind: str,
     prompts: Sequence[str],
     max_seq_len: int = 512,
     model_path: str | None = None,
     limit: float = 0.5,
+    serving_batch_size: int = 64,
 ):
     """Fused fast path: ONE Arrow crossing for prompt-expand + chunk +
-    score + decode.
+    score + decode, and batched forward passes for the encoder.
 
     The modular plan (explode prompts -> chunk UDF -> score UDF) ships
     each document's text 3× through Arrow and serializes the chunk list
     as a nested struct array — measured to dominate wall time over the
     actual scoring. Here the input is just (doc_id, text); prompts and
-    windows are iterated inside the batch, and only decoded span rows
-    come back out. Semantics are identical (the e2e test compares both
-    against the serial reference-style oracle).
+    windows are iterated inside the batch, all chunks of the Arrow
+    batch are scored through ``extract_batch`` (padded+stacked, ≤1
+    ``session.run`` per ``serving_batch_size`` chunks), and only
+    decoded span rows come back out. Semantics are identical (the e2e
+    test compares both against the serial reference-style oracle).
     """
     from ..functions.chunking import chunk_content
 
@@ -230,7 +300,7 @@ def make_extract_map(
         pin_worker_threads()
         encoder = get_encoder(encoder_kind, prompts, model_path, max_seq_len)
         for pdf in batches:
-            rows: List[tuple] = []
+            metas: List[tuple] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
@@ -239,55 +309,38 @@ def make_extract_map(
                     # errors (those exist only on the training path)
                     chunks = chunk_content(text, prompt, max_seq_len)
                     for chunk_idx, (chunk_start, content, _) in enumerate(chunks):
-                        for s, e_excl, prob in encoder.extract(content, prompt, limit):
-                            rows.append(
-                                (
-                                    doc_id,
-                                    chunk_idx,
-                                    chunk_start,
-                                    prompt,
-                                    content[s:e_excl],
-                                    chunk_start + s,
-                                    chunk_start + e_excl,
-                                    float(prob),
-                                )
-                            )
+                        metas.append((doc_id, chunk_idx, chunk_start, content, prompt))
+            rows = _score_chunk_items(encoder, metas, limit, serving_batch_size)
             yield pd.DataFrame(rows, columns=EXTRACTION_COLUMNS)
 
     return extract_map
 
 
 def make_score_map(encoder_kind: str, prompts: Sequence[str],
-                   model_path: str | None = None, limit: float = 0.5):
+                   max_seq_len: int = 512, model_path: str | None = None,
+                   limit: float = 0.5, serving_batch_size: int = 64):
     """Iterator mapInPandas fn: model-input batches -> decoded span rows.
 
     Output offsets are document-absolute (chunk_start + local offset),
     end exclusive — matching the reference's emitted D5 records
     (run_infer.py:79-81 reports offsets in regularized-document space).
+    ``max_seq_len`` reaches the encoder (an OnnxEncoder must truncate at
+    the pipeline's configured length, not a hardcoded default), and
+    scoring batches through ``extract_batch`` like the fused path.
     """
 
     def score_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pin_worker_threads()
-        encoder = get_encoder(encoder_kind, prompts, model_path)  # stub: char-level
+        encoder = get_encoder(encoder_kind, prompts, model_path, max_seq_len)
         for pdf in batches:
-            rows: List[tuple] = []
-            for doc_id, chunk_idx, chunk_start, content, prompt in zip(
-                pdf["doc_id"], pdf["chunk_idx"], pdf["chunk_start"],
-                pdf["content"], pdf["prompt"],
-            ):
-                for s, e_excl, prob in encoder.extract(content, prompt, limit):
-                    rows.append(
-                        (
-                            doc_id,
-                            int(chunk_idx),
-                            int(chunk_start),
-                            prompt,
-                            content[s:e_excl],
-                            int(chunk_start) + s,
-                            int(chunk_start) + e_excl,
-                            float(prob),
-                        )
-                    )
+            metas: List[tuple] = [
+                (doc_id, int(chunk_idx), int(chunk_start), content, prompt)
+                for doc_id, chunk_idx, chunk_start, content, prompt in zip(
+                    pdf["doc_id"], pdf["chunk_idx"], pdf["chunk_start"],
+                    pdf["content"], pdf["prompt"],
+                )
+            ]
+            rows = _score_chunk_items(encoder, metas, limit, serving_batch_size)
             yield pd.DataFrame(rows, columns=EXTRACTION_COLUMNS)
 
     return score_map

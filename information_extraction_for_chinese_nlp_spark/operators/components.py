@@ -3,13 +3,17 @@
 Pure-DataFrame iterative min-label propagation (no GraphFrames):
 each round every node adopts the minimum component id in its closed
 neighborhood; convergence in O(graph diameter) rounds. Lineage is
-truncated with ``localCheckpoint`` each round so the plan doesn't grow
-unboundedly (SURVEY.md §4 item 3). Entity-match graphs are unions of
+truncated each round so the plan doesn't grow unboundedly
+(SURVEY.md §4 item 3) — ``localCheckpoint`` by default, reliable
+``checkpoint()`` with ``durable=True`` for fault-tolerant cluster runs. Entity-match graphs are unions of
 small cliques (diameter ≲ 2-3), so this beats the large-star/small-star
 constant factor while having the same shuffle profile per round.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -20,31 +24,52 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    durable: bool = False,
 ) -> DataFrame:
     """edges(src, dst) undirected -> (node, component) with component =
-    min node id of the component (lexicographic for strings)."""
+    min node id of the component (lexicographic for strings).
+
+    ``durable=False`` truncates lineage with ``localCheckpoint`` —
+    fastest, but the blocks live on executors and die with them.
+    ``durable=True`` uses reliable ``checkpoint()`` (persisted to the
+    configured checkpoint dir — HDFS/object store on a real cluster),
+    so a long-running canonicalization survives executor loss; prefer it
+    for cluster jobs where a lost executor would otherwise restart the
+    whole iteration history.
+    """
+    if durable:
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            # local-mode fallback; real clusters set a durable FS path
+            sc.setCheckpointDir(
+                os.path.join(tempfile.gettempdir(), "spark-cc-checkpoint")
+            )
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if durable else df.localCheckpoint()
+
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    sym = cut(sym.filter(F.col("a") != F.col("b")).distinct())
 
-    labels = (
+    labels = cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-    ).localCheckpoint()
+    )
 
     for _ in range(max_iter):
         # neighbor labels: for edge (a,b), b hears a's component
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("component")
         )
-        new_labels = (
+        new_labels = cut(
             labels.select("node", "component")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")

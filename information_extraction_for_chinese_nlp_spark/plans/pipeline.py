@@ -63,7 +63,8 @@ def extract_spans(
             "doc_id", "chunk_idx", "chunk_start", "content", "prompt"
         )
         extracted = model_input.mapInPandas(
-            make_score_map(encoder_kind, list(prompts), model_path), EXTRACTION_DDL
+            make_score_map(encoder_kind, list(prompts), max_seq_len, model_path),
+            EXTRACTION_DDL,
         )
     return apply_strategy(extracted, strategy, threshold)
 

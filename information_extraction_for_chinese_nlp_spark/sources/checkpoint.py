@@ -7,15 +7,22 @@ snapshots." Mechanism:
 - work is bucketed by a stable hash of the partition key
   (``pmod(xxhash64(conv_id), n_buckets)``) and processed in bucket
   batches;
-- each completed batch appends an output snapshot (TableIO) and then a
-  watermark row (bucket range, snapshot id, row count) — write order
-  means a crash can leave an orphan snapshot but never a watermark
-  without data; the next run prunes unacknowledged snapshots before
-  reprocessing, so the crash window cannot double rows;
-- on (re)start, pending work = input LEFT ANTI JOIN watermarks on
-  bucket, so completed buckets are never rescanned past the filter —
-  at scale this prunes at the source when the input is bucketed or
-  partitioned by the same key.
+- each completed batch appends an output snapshot (TableIO) and then
+  ONE watermark snapshot to a warehouse table named
+  ``<table>__wm`` carrying a row per bucket of the batch. The ack is
+  atomic: all buckets of a batch become visible in a single manifest
+  swap, so a kill can never leave a snapshot acknowledged by some of
+  its buckets but not others (a partially-acked snapshot would survive
+  pruning while its unacked buckets re-run — doubling rows);
+- watermark state lives in the warehouse (a real Iceberg table when the
+  runtime is present), NOT in driver-local files, so resume survives
+  driver loss on a cluster; it is namespaced per output table, so two
+  pipelines sharing a warehouse never see each other's progress;
+- on (re)start, orphan output snapshots (no watermark) are pruned, then
+  pending work = input LEFT ANTI JOIN watermarks on bucket, so
+  completed buckets are never rescanned past the filter — at scale this
+  prunes at the source when the input is bucketed or partitioned by the
+  same key.
 
 The reference's closest concept is training checkpoint resume
 (reference run_train.py:100-117); this generalizes it to dataflow.
@@ -23,8 +30,6 @@ The reference's closest concept is training checkpoint resume
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from typing import Callable
 
@@ -38,48 +43,43 @@ WATERMARK_SCHEMA = ("bucket int, snapshot_id string, snapshot_rows long, "
 
 
 class ResumableRunner:
-    """Drive a bucket-partitioned pipeline with resume."""
+    """Drive a bucket-partitioned pipeline writing ``table`` with resume.
 
-    def __init__(self, spark: SparkSession, io: TableIO, n_buckets: int = 16,
-                 key_col: str = "conv_id"):
+    One runner per output table — the watermark table ``<table>__wm``
+    is derived from it, which namespaces progress per table by
+    construction.
+    """
+
+    def __init__(self, spark: SparkSession, io: TableIO, table: str,
+                 n_buckets: int = 16, key_col: str = "conv_id"):
         self.spark = spark
         self.io = io
+        self.table = table
+        self.wm_table = f"{table}__wm"
         self.n_buckets = n_buckets
         self.key_col = key_col
-        self._wm_path = os.path.join(io.warehouse, "_watermarks.jsonl")
 
     # -- watermark table ----------------------------------------------------
 
     def watermarks(self) -> DataFrame:
-        if not os.path.exists(self._wm_path):
+        try:
+            return self.io.read(self.wm_table)
+        except FileNotFoundError:
             return self.spark.createDataFrame([], WATERMARK_SCHEMA)
-        with open(self._wm_path) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
-        if not rows:
-            return self.spark.createDataFrame([], WATERMARK_SCHEMA)
-        return self.spark.createDataFrame(rows, WATERMARK_SCHEMA)
 
     def done_buckets(self) -> set[int]:
-        if not os.path.exists(self._wm_path):
-            return set()
-        with open(self._wm_path) as f:
-            return {json.loads(line)["bucket"] for line in f if line.strip()}
+        return {
+            r.bucket
+            for r in self.watermarks().select("bucket").distinct().collect()
+        }
 
-    def _record(self, bucket: int, snapshot_id: str, n_rows: int) -> None:
-        with open(self._wm_path, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "bucket": bucket,
-                        "snapshot_id": snapshot_id,
-                        # row count of the SHARED snapshot this bucket
-                        # belongs to (not per-bucket rows)
-                        "snapshot_rows": n_rows,
-                        "completed_at": time.time(),
-                    }
-                )
-                + "\n"
-            )
+    def _ack_batch(self, buckets: list[int], snapshot_id: str, n_rows: int) -> None:
+        """ONE append for the whole batch: every bucket of the batch is
+        acknowledged in a single atomic manifest swap, or none is."""
+        now = time.time()
+        rows = [(int(b), snapshot_id, int(n_rows), float(now)) for b in buckets]
+        df = self.spark.createDataFrame(rows, WATERMARK_SCHEMA)
+        self.io.write(df.coalesce(1), self.wm_table, mode="append")
 
     # -- execution ----------------------------------------------------------
 
@@ -92,23 +92,19 @@ class ResumableRunner:
         wm = self.watermarks().select(F.col("bucket").alias("_bucket")).distinct()
         return with_bucket.join(F.broadcast(wm), on="_bucket", how="left_anti")
 
-    def _prune_orphan_snapshots(self, table: str) -> int:
-        """Drop snapshots that have no watermark — the crash window is
-        'snapshot appended, watermark not yet written', and the batch
-        will re-run, so an orphan snapshot would double its rows."""
-        acked = set()
-        if os.path.exists(self._wm_path):
-            with open(self._wm_path) as f:
-                acked = {
-                    json.loads(line)["snapshot_id"]
-                    for line in f
-                    if line.strip()
-                }
+    def _prune_orphan_snapshots(self) -> int:
+        """Drop output snapshots that have no watermark — the crash
+        window is 'snapshot appended, ack not yet written', and the
+        batch will re-run, so an orphan snapshot would double its rows."""
+        acked = {
+            r.snapshot_id
+            for r in self.watermarks().select("snapshot_id").distinct().collect()
+        }
         m = self.io._manifest()
-        snaps = m.get(table, [])
+        snaps = m.get(self.table, [])
         orphans = [s for s in snaps if s["snapshot_id"] not in acked]
         if orphans:
-            m[table] = [s for s in snaps if s["snapshot_id"] in acked]
+            m[self.table] = [s for s in snaps if s["snapshot_id"] in acked]
             self.io._save_manifest(m)
         return len(orphans)
 
@@ -116,21 +112,22 @@ class ResumableRunner:
         self,
         df: DataFrame,
         process: Callable[[DataFrame], DataFrame],
-        table: str,
         buckets_per_batch: int = 4,
         stamp_snapshot_col: str | None = "snapshot_id",
     ) -> int:
         """Process all pending buckets in batches; returns rows written
         by THIS run (the table total is ``io.read(table).count()``).
 
-        Commit order per batch: snapshot append, then one watermark row
-        per bucket (each carrying the shared snapshot_id and the
-        snapshot's total row count as ``snapshot_rows``). A kill between
-        batches loses nothing; a kill inside a batch is healed on the
-        next run by ``_prune_orphan_snapshots`` (an appended snapshot
-        without watermarks is discarded before the batch re-runs).
+        Commit order per batch: output snapshot append, then one atomic
+        watermark append covering every bucket of the batch (each row
+        carries the shared snapshot_id and the snapshot's total row
+        count as ``snapshot_rows``). A kill between batches loses
+        nothing; a kill inside a batch is healed on the next run by
+        ``_prune_orphan_snapshots`` (an appended snapshot whose batch
+        was never acked is discarded before the batch re-runs — and the
+        single-append ack means 'partially acked' cannot exist).
         """
-        self._prune_orphan_snapshots(table)
+        self._prune_orphan_snapshots()
         done = self.done_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
         written = 0
@@ -142,10 +139,9 @@ class ResumableRunner:
             # write once, count what was written — running count() on the
             # unmaterialized plan would execute the whole pipeline twice
             snapshot_id = self.io.write(
-                out, table, mode="append", stamp_snapshot_col=stamp_snapshot_col
+                out, self.table, mode="append", stamp_snapshot_col=stamp_snapshot_col
             )
-            n = self.io.read_snapshot(table, snapshot_id).count()
-            for b in batch:
-                self._record(b, snapshot_id, n)
+            n = self.io.read_snapshot(self.table, snapshot_id).count()
+            self._ack_batch(batch, snapshot_id, n)
             written += n
         return written

@@ -71,8 +71,8 @@ def main() -> None:
                                threshold=args.threshold)
 
     if args.resume:
-        runner = ResumableRunner(spark, io, n_buckets=args.n_buckets)
-        n_edges = runner.run(transcripts, process, "edges",
+        runner = ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets)
+        n_edges = runner.run(transcripts, process,
                              buckets_per_batch=max(args.n_buckets // 8, 1))
         edges = io.read("edges")
     else:
@@ -92,7 +92,7 @@ def main() -> None:
         "canonical_edges": io.read("canonical_edges").count(),
         "wall_sec": round(time.time() - t0, 2),
         "resumed_buckets_done": sorted(
-            ResumableRunner(spark, io, n_buckets=args.n_buckets).done_buckets()
+            ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets).done_buckets()
         ) if args.resume else None,
     }))
     spark.stop()

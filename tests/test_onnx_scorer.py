@@ -92,3 +92,81 @@ def test_onnx_out_of_content_span_dropped():
     session = PointerSession(start_at=6, end_at=n, p=0.9)
     scorer = UIEOnnxScorer(session, CharTokenizer())
     assert scorer.extract(content, prompt) == []
+
+
+class BatchPointerSession:
+    """Fake session that marks one span per row (wherever the digits
+    sit) and counts forward passes."""
+
+    def __init__(self, p=0.9):
+        self.p = p
+        self.n_runs = 0
+        self.shapes = []
+
+    def run(self, _outputs, feeds):
+        self.n_runs += 1
+        ids = feeds["input_ids"]
+        self.shapes.append(ids.shape)
+        sp = np.zeros(ids.shape)
+        ep = np.zeros(ids.shape)
+        for i, row in enumerate(ids):
+            digit_pos = [j for j, t in enumerate(row) if ord("0") <= t <= ord("9")]
+            if digit_pos:
+                sp[i, digit_pos[0]] = self.p
+                ep[i, digit_pos[-1]] = self.p
+        return sp, ep
+
+
+def test_extract_batch_single_forward_pass():
+    """A batch of variable-length items is padded+stacked and scored by
+    exactly ONE session.run; every row decodes independently."""
+    session = BatchPointerSession()
+    scorer = UIEOnnxScorer(session, CharTokenizer())
+    prompt = "醫療費用"
+    contents = ["支出98,532元", "費用700元整", "無金額", "x" * 40 + "12元"]
+    results = scorer.extract_batch([(c, prompt) for c in contents])
+
+    assert session.n_runs == 1
+    # feeds padded to the longest row, batch axis = n items
+    assert session.shapes[0][0] == len(contents)
+    assert session.shapes[0][1] == 1 + len(prompt) + 1 + max(map(len, contents)) + 1
+    assert [len(r) for r in results] == [1, 1, 0, 1]
+    (s, e, _p) = results[0][0]
+    assert contents[0][s:e] == "98,532"
+    (s, e, _p) = results[3][0]
+    assert contents[3][s:e] == "12"
+
+
+def test_fused_map_one_forward_pass_per_arrow_batch():
+    """make_extract_map must score ALL chunks of an Arrow batch through
+    extract_batch (≤ ceil(n_chunks / serving_batch_size) forward
+    passes), never chunk-at-a-time — the reference's batch_size=16
+    serving contract (run_infer.py:110)."""
+    import pandas as pd
+
+    from information_extraction_for_chinese_nlp_spark.inference import scorer as S
+
+    prompt = "醫療費用"
+    session = BatchPointerSession()
+    key = ("fake-batch", (prompt,), None, 64)
+    S._ENCODER_CACHE[key] = UIEOnnxScorer(session, CharTokenizer())
+    try:
+        fn = S.make_extract_map("fake-batch", [prompt], max_seq_len=64,
+                                serving_batch_size=128)
+        pdf = pd.DataFrame(
+            {"doc_id": [f"d{i}" for i in range(12)],
+             "text": [f"支出{i}00元整" for i in range(12)]}
+        )
+        out = pd.concat(list(fn(iter([pdf]))))
+        assert session.n_runs == 1, f"{session.n_runs} forward passes for one batch"
+        assert len(out) == 12
+        assert set(out["doc_id"]) == {f"d{i}" for i in range(12)}
+        # sub-batching kicks in when the batch exceeds serving_batch_size
+        session2 = BatchPointerSession()
+        S._ENCODER_CACHE[key] = UIEOnnxScorer(session2, CharTokenizer())
+        fn2 = S.make_extract_map("fake-batch", [prompt], max_seq_len=64,
+                                 serving_batch_size=5)
+        pd.concat(list(fn2(iter([pdf]))))
+        assert session2.n_runs == 3  # ceil(12 / 5)
+    finally:
+        S._ENCODER_CACHE.pop(key, None)

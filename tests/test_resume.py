@@ -22,7 +22,7 @@ def test_kill_and_resume(spark, tmp_path):
     expected = sorted(map(tuple, _edges(transcripts).collect()))
 
     io = TableIO(spark, str(tmp_path / "wh"))
-    runner = ResumableRunner(spark, io, n_buckets=8)
+    runner = ResumableRunner(spark, io, "edges", n_buckets=8)
 
     # First run dies after 1 batch (simulated kill).
     calls = {"n": 0}
@@ -34,14 +34,14 @@ def test_kill_and_resume(spark, tmp_path):
         return _edges(df)
 
     with pytest.raises(Kill):
-        runner.run(transcripts, dying_process, "edges", buckets_per_batch=2)
+        runner.run(transcripts, dying_process, buckets_per_batch=2)
 
     done_after_kill = runner.done_buckets()
     assert 0 < len(done_after_kill) < 8, "kill should leave partial watermarks"
     partial_rows = io.read("edges").count()
 
     # Resume: a fresh runner over the same warehouse completes the rest.
-    runner2 = ResumableRunner(spark, io, n_buckets=8)
+    runner2 = ResumableRunner(spark, io, "edges", n_buckets=8)
     pending_before = runner2.pending(transcripts)
     # completed buckets never reappear in the pending slice
     assert pending_before.withColumn("_b", runner2.bucket_col()).filter(
@@ -54,7 +54,7 @@ def test_kill_and_resume(spark, tmp_path):
         processed_batches["n"] += 1
         return _edges(df)
 
-    runner2.run(transcripts, counting_process, "edges", buckets_per_batch=2)
+    runner2.run(transcripts, counting_process, buckets_per_batch=2)
     assert runner2.done_buckets() == set(range(8))
     # resume only ran the remaining batches
     assert processed_batches["n"] == (8 - len(done_after_kill)) // 2
@@ -74,7 +74,7 @@ def test_orphan_snapshot_pruned_on_resume(spark, tmp_path):
     expected = sorted(map(tuple, _edges(transcripts).collect()))
 
     io = TableIO(spark, str(tmp_path / "wh3"))
-    runner = ResumableRunner(spark, io, n_buckets=4)
+    runner = ResumableRunner(spark, io, "edges", n_buckets=4)
 
     # simulate the crash: one batch's output lands as a snapshot with no
     # watermark acknowledgment
@@ -84,17 +84,55 @@ def test_orphan_snapshot_pruned_on_resume(spark, tmp_path):
     io.write(_edges(first_batch), "edges", mode="append")
     assert runner.done_buckets() == set()
 
-    runner.run(transcripts, _edges, "edges", buckets_per_batch=2)
+    runner.run(transcripts, _edges, buckets_per_batch=2)
     got = sorted(map(tuple, io.read("edges").drop("snapshot_id").collect()))
     assert got == expected  # orphan pruned; no duplicated batch
+
+
+def test_batch_ack_is_atomic(spark, tmp_path):
+    """One watermark SNAPSHOT per batch, covering all its buckets with a
+    shared snapshot_id — there is no per-bucket append sequence a kill
+    could land between, so 'snapshot acked by some buckets of its batch
+    but not others' is unrepresentable."""
+    transcripts = synth_transcripts(spark, n_convs=24, turns_per_conv=4).cache()
+    io = TableIO(spark, str(tmp_path / "wh4"))
+    runner = ResumableRunner(spark, io, "edges", n_buckets=8)
+    runner.run(transcripts, _edges, buckets_per_batch=2)
+
+    wm_snaps = io.snapshots(runner.wm_table)
+    assert len(wm_snaps) == 4  # 8 buckets / 2 per batch
+    wm = runner.watermarks().toPandas()
+    per_snap = wm.groupby("snapshot_id")["bucket"].nunique()
+    assert (per_snap == 2).all(), per_snap
+    assert set(wm.bucket) == set(range(8))
+
+
+def test_watermarks_namespaced_per_table(spark, tmp_path):
+    """Two output tables sharing one warehouse must not see each other's
+    progress: completing table A leaves table B fully pending."""
+    transcripts = synth_transcripts(spark, n_convs=16, turns_per_conv=4).cache()
+    io = TableIO(spark, str(tmp_path / "wh5"))
+    a = ResumableRunner(spark, io, "edges_a", n_buckets=4)
+    a.run(transcripts, _edges, buckets_per_batch=4)
+    assert a.done_buckets() == set(range(4))
+
+    b = ResumableRunner(spark, io, "edges_b", n_buckets=4)
+    assert b.done_buckets() == set()
+    assert b.pending(transcripts).count() == transcripts.count()
+    written = b.run(transcripts, _edges, buckets_per_batch=4)
+    assert written > 0
+    # identical data; snapshot_id provenance stamps naturally differ
+    assert sorted(map(tuple, io.read("edges_a").drop("snapshot_id").collect())) == sorted(
+        map(tuple, io.read("edges_b").drop("snapshot_id").collect())
+    )
 
 
 def test_pending_left_anti(spark, tmp_path):
     transcripts = synth_transcripts(spark, n_convs=20, turns_per_conv=4)
     io = TableIO(spark, str(tmp_path / "wh2"))
-    runner = ResumableRunner(spark, io, n_buckets=4)
-    runner.run(transcripts, _edges, "edges", buckets_per_batch=4)
+    runner = ResumableRunner(spark, io, "edges", n_buckets=4)
+    runner.run(transcripts, _edges, buckets_per_batch=4)
     # everything done -> pending is empty
     assert runner.pending(transcripts).count() == 0
     # idempotent re-run writes nothing new
-    assert runner.run(transcripts, _edges, "edges") == 0
+    assert runner.run(transcripts, _edges) == 0
