@@ -64,8 +64,26 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
     )
 
 
+def _bucket_pairs(ids):
+    """Ordered (doc_a < doc_b) pair structs from a sorted id array —
+    JVM-side pair expansion inside an inverted-index bucket. Replaces a
+    self-join: Spark does not reuse the exchange across self-join
+    aliases (measured), so joining a bucketed table with itself re-runs
+    the whole upstream pipeline for the second side."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int | None = None) -> DataFrame:
     """-> (doc_a, doc_b) candidate near-dup pairs sharing at least one band.
 
     Standard b×r banding: signature of n_bands*rows_per_band minhashes,
@@ -73,12 +91,23 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
     candidate iff some band matches exactly. Detection probability for
     Jaccard s is 1-(1-s^r)^b — the default (b=4, r=2) catches a
     0.8-Jaccard pair with p≈0.98 (a single band of 4 rows would only
-    manage ≈0.41). The pair join carries band_id in the key, so all
-    bands resolve in ONE shuffle; duplicates across bands collapse with
-    a distinct on the output pairs (output-bound, never all-pairs).
+    manage ≈0.41).
+
+    Pairs come from ONE aggregation chain, not a self-join: docs group
+    into (band_id, band) buckets and ordered pairs are expanded
+    JVM-side inside each bucket. A self-join would re-run the whole
+    signature pipeline for its second input (Spark does not reuse the
+    exchange across the two aliases — measured), doubling the dominant
+    cost at scale. Duplicates across bands collapse with a distinct;
+    work stays output-bound, never all-pairs.
+
+    ``max_bucket`` drops buckets larger than the cap — a bucket of n
+    docs (an exact-dup cluster: identical signatures) expands to
+    O(n²) pairs that dedup_exact already answers in O(n); set it at
+    scale so one degenerate cluster can't dominate the stage.
     """
     sigs = minhash_signatures(docs, n_bands * rows_per_band, id_col, text_col)
-    band = (
+    buckets = (
         sigs.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band_id")
         .agg(
@@ -90,15 +119,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                 "|",
             ).alias("band")
         )
+        .groupBy("band_id", "band")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    a = band.alias("a")
-    b = band.alias("b")
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     return (
-        a.join(b, on=["band_id", "band"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -142,33 +171,33 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
                         max_df: int | None = None) -> DataFrame:
     """-> (doc_a, doc_b, jac): word-n-gram Jaccard ≥ threshold.
 
-    Scalable formulation: pairs come from the shingle inverted index, so
-    disjoint documents never meet. ``max_df`` caps hot shingles — a
-    shingle appearing in more than max_df documents is dropped from the
-    index before the self-join (it contributes O(df²) candidate pairs
-    but almost no Jaccard discrimination). Set it at scale; the capped
-    Jaccard is then an under-estimate, so it can only lose borderline
-    pairs, never invent them. Sizes are computed on the UNCAPPED shingle
-    sets so reported jac stays a true lower bound of the real value.
+    Scalable formulation: pairs come from the shingle inverted index
+    (one aggregation chain — no self-join, so the shingle explode runs
+    ONCE; see _bucket_pairs), and disjoint documents never meet.
+    ``max_df`` caps hot shingles — a shingle appearing in more than
+    max_df documents is dropped from the index before pair expansion
+    (it contributes O(df²) candidate pairs but almost no Jaccard
+    discrimination, and it bounds the per-bucket id array). Set it at
+    scale; the capped Jaccard is then an under-estimate, so it can only
+    lose borderline pairs, never invent them. Sizes are computed on the
+    UNCAPPED shingle sets so reported jac stays a true lower bound of
+    the real value.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_df is not None:
-        hot = (
-            sh.groupBy("s").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("s")
-        )
-        sh = sh.join(F.broadcast(hot), on="s", how="left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_df)
     inter = (
-        a.join(b, on="s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
