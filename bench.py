@@ -45,10 +45,14 @@ def build_queries(spark):
         ngram_jaccard_pairs,
         simhash,
     )
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
     from information_extraction_for_chinese_nlp_spark.operators.similarity import (
         ann_topk,
         brute_force_topk,
         ivf_topk,
+        matmul_topk,
     )
     from information_extraction_for_chinese_nlp_spark.operators.textstats import (
         quality_features,
@@ -84,7 +88,14 @@ def build_queries(spark):
             docs, n=3, threshold=0.1, max_df=100
         ).count(),
         "q4_simhash": lambda: simhash(docs).count(),
+        # banded Hamming pairs (pigeonhole recall 1.0 at distance <= 3)
+        "q4b_simhash_pairs": lambda: simhash_near_pairs(
+            docs, max_hamming=3, max_bucket=1000
+        ).count(),
         "q5_bruteforce_topk": lambda: brute_force_topk(emb, queries, k=10).count(),
+        # exact search, vectorized: per-partition numpy matmul + local
+        # top-k, global rank on the bounded candidate set
+        "q5d_matmul_topk": lambda: matmul_topk(emb, queries, k=10).count(),
         # the actual ANN scale paths, timed as headline queries
         "q5b_lsh_ann": lambda: ann_topk(
             emb, queries, k=10, n_planes=6, max_hamming=1

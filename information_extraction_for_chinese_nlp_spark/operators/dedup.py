@@ -166,6 +166,59 @@ def simhash(docs: DataFrame, n_bits: int = 16,
     )
 
 
+def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
+                       max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_bucket: int | None = None) -> DataFrame:
+    """-> (doc_a, doc_b, hamming): SimHash pairs with fingerprint
+    Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: the n_bits fingerprint splits into n_bands
+    equal bit slices; two fingerprints within Hamming distance
+    n_bands-1 MUST agree on at least one slice, so bucketing by
+    (band_id, band_bits) has recall 1.0 for max_hamming ≤ n_bands-1 —
+    candidates then verify the true distance with bit_count(xor).
+    Same single-pass bucket expansion as minhash_lsh_pairs (fingerprint
+    computed once, no self-join); ``max_bucket`` caps degenerate
+    identical-fingerprint clusters at scale.
+    """
+    bpb = n_bits // n_bands
+    if n_bands * bpb != n_bits:
+        raise ValueError("n_bands must divide n_bits")
+    fp = simhash(docs, n_bits, id_col, text_col)
+    mask = (1 << bpb) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * bpb).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band")
+    )
+    buckets = (
+        banded.groupBy("band_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.doc_a.simhash").bitwiseXOR(F.col("p.doc_b.simhash"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_df: int | None = None) -> DataFrame:

@@ -10,6 +10,7 @@ optional TF-IDF cosine variant for longer surface forms.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +31,42 @@ def jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _ngrams_py(s: str, n: int) -> list[str]:
+    return [s[i : i + n] for i in range(max(len(s) - n + 1, 0))]
+
+
+def make_tfidf_scorer(aliases: list[str], ngram: int = 2):
+    """Char-n-gram TF-IDF cosine, IDF fitted on the alias corpus
+    (sklearn-style smooth idf: ln((1+N)/(1+df)) + 1; terms unseen in
+    the corpus get df=0 weight). The alias dictionary is small and
+    curated by contract, so fitting happens driver-side at plan time —
+    the scorer closure ships to workers with the UDF."""
+    import math
+    from collections import Counter
+
+    n_docs = len(aliases)
+    df: Counter = Counter()
+    for a in aliases:
+        df.update(set(_ngrams_py(a, ngram)))
+    default_idf = math.log(1.0 + n_docs) + 1.0
+    idf = {t: math.log((1.0 + n_docs) / (1.0 + c)) + 1.0 for t, c in df.items()}
+
+    def weights(s: str) -> dict:
+        counts = Counter(_ngrams_py(s, ngram))
+        return {t: n * idf.get(t, default_idf) for t, n in counts.items()}
+
+    def score(obj, alias) -> float:
+        if obj is None or alias is None:
+            return 0.0
+        wa, wb = weights(obj), weights(alias)
+        dot = sum(w * wb[t] for t, w in wa.items() if t in wb)
+        na = math.sqrt(sum(w * w for w in wa.values()))
+        nb = math.sqrt(sum(w * w for w in wb.values()))
+        return dot / (na * nb) if na and nb else 0.0
+
+    return score
+
+
 def block_key_for_mention(pred_col, obj_col):
     """Blocking key: entity type + normalized money value (the reference's
     obj normalization, F4, doubles as the blocking function)."""
@@ -41,20 +78,43 @@ def link_entities(
     alias_dict: DataFrame,
     threshold: float = 0.5,
     ngram: int = 2,
+    scorer: str = "jaccard",
 ) -> DataFrame:
     """mentions(mention_id, pred, obj) × alias_dict(alias, canonical_id,
     block_key) -> (mention_id, pred, obj, canonical_id, score).
 
     Unlinked mentions are kept with NULL canonical_id (left join), so the
     caller can mint new vertex ids for them.
+
+    ``scorer``: 'jaccard' (char-n-gram set Jaccard, pure Catalyst — the
+    default for short surfaces) or 'tfidf' (char-n-gram TF-IDF cosine
+    via an Arrow-batched UDF, north_star's weighting for longer surface
+    forms — rare-n-gram agreement counts more than boilerplate).
     """
     m = mentions.withColumn("block_key", block_key_for_mention(F.col("pred"), F.col("obj")))
+    if scorer == "jaccard":
+        score_col = jaccard(
+            char_ngrams(F.col("obj"), ngram), char_ngrams(F.col("alias"), ngram)
+        )
+    elif scorer == "tfidf":
+        aliases = [r.alias for r in alias_dict.select("alias").distinct().collect()]
+        score_fn = make_tfidf_scorer(aliases, ngram)
+
+        @F.pandas_udf("double")
+        def tfidf_udf(obj: pd.Series, alias: pd.Series) -> pd.Series:
+            from ..functions.worker import pin_worker_threads
+
+            pin_worker_threads()
+            return pd.Series(
+                [score_fn(o, a) for o, a in zip(obj, alias)], dtype="float64"
+            )
+
+        score_col = tfidf_udf(F.col("obj"), F.col("alias"))
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     cand = m.join(
         F.broadcast(alias_dict), on="block_key", how="left"
-    ).withColumn(
-        "score",
-        jaccard(char_ngrams(F.col("obj"), ngram), char_ngrams(F.col("alias"), ngram)),
-    )
+    ).withColumn("score", score_col)
     scored = cand.withColumn(
         "canonical_id",
         F.when(F.col("score") >= threshold, F.col("canonical_id")),

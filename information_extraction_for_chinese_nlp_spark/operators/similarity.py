@@ -69,6 +69,66 @@ def brute_force_topk(
     )
 
 
+def matmul_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine at BLAS speed: the (small-by-contract) query
+    set is collected to a normalized numpy matrix and shipped in the
+    task closure; the corpus streams through ONE ``mapInPandas`` that
+    computes a [batch × n_queries] matmul and emits only each batch's
+    per-query top-k, so the shuffle is bounded by n_batches·n_q·k rows
+    (never the corpus); a final per-query rank reduces local top-k to
+    global top-k. Results are identical to ``brute_force_topk`` — this
+    is the exact-search scale path when the Catalyst expression dot
+    product (interpreted per pair) becomes the bottleneck.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def topk_map(batches):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        for pdf in batches:
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(a) == 0:
+                yield pd.DataFrame({"qid": [], "nid": [], "sim": []})
+                continue
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ q_mat.T  # [batch, n_q]
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, len(nids))  # +1 absorbs a possible self-match
+            for j, qid in enumerate(q_ids):
+                # rank on the ROUNDED similarity with nid tie-break —
+                # the exact ordering the final window (and the oracle)
+                # uses; cutting local top-k on raw sims can keep the
+                # wrong member of a rounding-band tie
+                col = np.round(sims[:, j], 4)
+                order = np.lexsort((nids, -col))
+                for i in order[:kk]:
+                    if nids[i] != qid:
+                        out_q.append(qid)
+                        out_n.append(nids[i])
+                        out_s.append(float(col[i]))
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "sim": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        topk_map, "qid long, nid long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     n_planes: int = 8,

@@ -41,6 +41,7 @@ def extract_spans(
     strategy: str = "threshold",
     threshold: float = 0.5,
     fused: bool = True,
+    pack_by_length: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text) -> extractions (exploded D5).
 
@@ -49,8 +50,17 @@ def extract_spans(
     the modular explode/chunk/score stages (useful when intermediate
     model-input records must be materialized, e.g. training-data prep).
     Both produce identical results — pinned by the e2e parity test.
+
+    pack_by_length=True adds a repartitionByRange on document length
+    before the Python stage (SURVEY §4 item 4): Arrow batches then hold
+    similar-length documents, so no task stalls on a batch mixing one
+    huge document with thousands of small ones. It costs one extra
+    Exchange — leave it off unless the length distribution is
+    heavy-tailed beyond what AQE evens out.
     """
     scrubbed = documents.select("doc_id", scrub_col(F.col("text")).alias("text"))
+    if pack_by_length:
+        scrubbed = scrubbed.repartitionByRange(F.length("text"), "doc_id")
     if fused:
         extracted = scrubbed.mapInPandas(
             make_extract_map(encoder_kind, list(prompts), max_seq_len, model_path),

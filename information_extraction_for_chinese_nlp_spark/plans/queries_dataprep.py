@@ -116,6 +116,47 @@ def simhash_q(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), n_bits=16)
 
 
+@register(
+    "simhash_near_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (strpos('0123456789abcdef', substring(md5(w), b.bit + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit),
+    sims AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.band_id,
+             (simhash >> (b.band_id * 4)) & 15 AS band
+      FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM banded a JOIN banded b USING (band_id, band)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def simhash_near_pairs_q(spark, sf_dir):
+    from ..operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), n_bits=16, n_bands=4, max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — word-3-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
@@ -159,9 +200,7 @@ def ngram_jaccard_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "embedding_topk",
-    """
+_EXACT_TOPK_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
       FROM embeddings WHERE vec_id < 5
@@ -183,13 +222,26 @@ def ngram_jaccard_q(spark, sf_dir):
       FROM scored
     )
     SELECT qid, nid, sim, rank FROM ranked WHERE rank <= 3
-    """,
-)
+    """
+
+
+@register("embedding_topk", _EXACT_TOPK_SQL)
 def embedding_topk_q(spark, sf_dir):
     from ..operators.similarity import brute_force_topk
 
     emb = load(spark, sf_dir, "embeddings")
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select("qid", "nid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register("matmul_topk", _EXACT_TOPK_SQL)
+def matmul_topk_q(spark, sf_dir):
+    """Vectorized exact search — must agree with the SAME oracle as the
+    Catalyst brute-force baseline (identical results by construction)."""
+    from ..operators.similarity import matmul_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = matmul_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return out.select("qid", "nid", "sim", F.col("rank").cast("long").alias("rank"))
 
 

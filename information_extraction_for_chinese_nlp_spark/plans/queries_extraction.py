@@ -322,6 +322,14 @@ def _bigrams_sql(col: str) -> str:
     )
 
 
+def _bigrams_multiset_sql(col: str) -> str:
+    """Non-distinct bigrams (TF-IDF needs term frequencies)."""
+    return (
+        f"list_transform(range(1, greatest(length({col}) - 1, 0) + 1), "
+        f"i -> substring({col}, CAST(i AS INT), 2))"
+    )
+
+
 @register(
     "entity_link_scored",
     f"""
@@ -361,12 +369,100 @@ def _bigrams_sql(col: str) -> str:
 def entity_link_scored(spark, sf_dir):
     from ..operators.linking import link_entities
 
-    mentions = money_mentions(spark, sf_dir).select(
+    return link_entities(
+        _link_mentions(spark, sf_dir), _link_alias_df(spark), threshold=0.3
+    )
+
+
+def _link_mentions(spark, sf_dir):
+    return money_mentions(spark, sf_dir).select(
         F.concat_ws("#", "vid", "mention").alias("mention_id"),
         F.lit("醫療費用").alias("pred"),
         F.col("mention").alias("obj"),
     )
-    alias_df = spark.createDataFrame(
+
+
+def _link_alias_df(spark):
+    return spark.createDataFrame(
         _LINK_ALIASES, "alias string, canonical_id string, block_key string"
     )
-    return link_entities(mentions, alias_df, threshold=0.3)
+
+
+@register(
+    "entity_link_tfidf",
+    f"""
+    WITH mentions AS (
+      SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
+      FROM {_verdicts_values()}
+    ),
+    m AS (
+      SELECT concat(vid, '#', mention) AS mention_id,
+             '醫療費用' AS pred, mention AS obj,
+             concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
+      FROM mentions
+    ),
+    d AS (
+      SELECT * FROM (VALUES {", ".join(f"('{a}', '{c}', '{b}')" for a, c, b in _LINK_ALIASES)})
+        AS d(alias, canonical_id, block_key)
+    ),
+    corpus AS (SELECT count(*) AS n FROM d),
+    dterms AS (SELECT alias, unnest({_bigrams_multiset_sql("alias")}) AS t FROM d),
+    -- sklearn-style smooth idf fitted on the alias corpus
+    idf AS (
+      SELECT t, ln((1.0 + (SELECT n FROM corpus)) / (1.0 + count(DISTINCT alias))) + 1 AS w
+      FROM dterms GROUP BY t
+    ),
+    cand AS (
+      SELECT m.mention_id, m.pred, m.obj, d.alias, d.canonical_id
+      FROM m LEFT JOIN d USING (block_key)
+    ),
+    ta0 AS (
+      SELECT mention_id, t, count(*) AS tf
+      FROM (SELECT mention_id, unnest({_bigrams_multiset_sql("obj")}) AS t
+            FROM cand WHERE alias IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    ta AS (
+      SELECT mention_id, t,
+             tf * coalesce(i.w, ln(1.0 + (SELECT n FROM corpus)) + 1) AS w
+      FROM ta0 LEFT JOIN idf i USING (t)
+    ),
+    tb0 AS (
+      SELECT mention_id, t, count(*) AS tf
+      FROM (SELECT mention_id, unnest({_bigrams_multiset_sql("alias")}) AS t
+            FROM cand WHERE alias IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    tb AS (SELECT mention_id, t, tf * i.w AS w FROM tb0 JOIN idf i USING (t)),
+    dotp AS (
+      SELECT mention_id, sum(ta.w * tb.w) AS dot
+      FROM ta JOIN tb USING (mention_id, t) GROUP BY mention_id
+    ),
+    na AS (SELECT mention_id, sqrt(sum(w * w)) AS v FROM ta GROUP BY mention_id),
+    nb AS (SELECT mention_id, sqrt(sum(w * w)) AS v FROM tb GROUP BY mention_id),
+    scored AS (
+      SELECT c.mention_id, c.pred, c.obj, c.canonical_id,
+             CASE WHEN c.alias IS NULL THEN 0.0
+                  ELSE coalesce(dp.dot, 0.0) / (na.v * nb.v) END AS score
+      FROM cand c
+      LEFT JOIN dotp dp USING (mention_id)
+      LEFT JOIN na USING (mention_id)
+      LEFT JOIN nb USING (mention_id)
+    )
+    SELECT mention_id, pred, obj,
+           CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
+           round(score, 6) AS score
+    FROM scored
+    """,
+)
+def entity_link_tfidf(spark, sf_dir):
+    """north_star's TF-IDF cosine linking variant, oracled end-to-end:
+    IDF fitted on the alias corpus, char-bigram term frequencies,
+    smooth-idf weighting (reference semantics: rare n-grams dominate
+    the match score for longer surfaces)."""
+    from ..operators.linking import link_entities
+
+    return link_entities(
+        _link_mentions(spark, sf_dir), _link_alias_df(spark),
+        threshold=0.3, scorer="tfidf",
+    )

@@ -40,6 +40,41 @@ def test_banded_lsh_recall(spark):
     assert single <= banded
 
 
+def test_simhash_pigeonhole_recall_is_total(spark, sf_dir):
+    """Banding guarantee: with n_bands=4 every pair at Hamming ≤ 3
+    shares a band, so simhash_near_pairs must return EXACTLY the pairs
+    a brute-force all-pairs comparison finds."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(docs, n_bits=16, n_bands=4, max_hamming=3).collect()
+    }
+    fp = simhash(docs, n_bits=16)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    assert want, "fixture should contain near-duplicate fingerprints"
+    assert got == want
+
+
 def test_lsh_no_cross_pair_leakage(spark):
     docs = _planted_docs(spark)
     got = {tuple(r) for r in

@@ -88,6 +88,24 @@ def test_split_hash_is_shuffle_free(spark):
     assert "Window" in exact_plan
 
 
+def test_length_packing_preserves_results(spark):
+    """pack_by_length adds exactly one RangePartitioning exchange before
+    the Python stage and changes nothing about the output."""
+    from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
+        extract_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), ("支出醫療費用98,532元" * (1 + i % 7))) for i in range(30)],
+        "doc_id string, text string",
+    )
+    base = extract_spans(docs, max_seq_len=128)
+    packed = extract_spans(docs, max_seq_len=128, pack_by_length=True)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, base.collect()))
+    plan = _executed_plan(packed)
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 @pytest.mark.slow
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join splitting engages on a pathologically skewed key
