@@ -227,20 +227,20 @@ def _nearest_cells(vec_col, centroids, n_probe: int):
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list,
     queries: DataFrame,
     k: int = 3,
-    n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: candidates come only from the query's n_probe nearest
-    cells — the scale path when brute force is too wide. Recall improves
-    with n_probe (n_probe = n_cells degenerates to exact search over a
-    partitioned corpus)."""
-    assigned, centroids = ivf_assignments(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    """Search a prebuilt IVF index (``ivf_assignments`` output). The
+    index is built ONCE and amortized over many query waves — the
+    assignments table persists like any table (TableIO/Iceberg), the
+    centroid list is a tiny JSON-able model. Candidates come only from
+    each query's n_probe nearest cells."""
     c = assigned.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"), "cell"
     )
@@ -258,6 +258,25 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates come only from the query's n_probe nearest
+    cells — the scale path when brute force is too wide. Recall improves
+    with n_probe (n_probe = n_cells degenerates to exact search over a
+    partitioned corpus). Convenience wrapper: builds the index and
+    searches it once; long-lived corpora should build with
+    ``ivf_assignments`` and reuse via ``ivf_search``."""
+    assigned, centroids = ivf_assignments(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    return ivf_search(assigned, centroids, queries, k, n_probe, id_col, vec_col)
 
 
 def _probe_buckets(bucket_col, n_planes: int, max_hamming: int):

@@ -81,6 +81,33 @@ class ResumableRunner:
         df = self.spark.createDataFrame(rows, WATERMARK_SCHEMA)
         self.io.write(df.coalesce(1), self.wm_table, mode="append")
 
+    def metrics(self) -> dict:
+        """Run-progress metrics from the lineage state (north_rule:
+        per-partition lineage + metrics): bucket completion, rows per
+        acknowledged snapshot, and ack timestamps."""
+        wm = self.watermarks()
+        rows = wm.collect()
+        by_snap: dict[str, dict] = {}
+        for r in rows:
+            s = by_snap.setdefault(
+                r.snapshot_id,
+                {"snapshot_id": r.snapshot_id, "buckets": [],
+                 "snapshot_rows": r.snapshot_rows, "completed_at": r.completed_at},
+            )
+            s["buckets"].append(r.bucket)
+        done = {r.bucket for r in rows}
+        return {
+            "table": self.table,
+            "n_buckets": self.n_buckets,
+            "buckets_done": len(done),
+            "buckets_pending": self.n_buckets - len(done),
+            "rows_acked": sum(s["snapshot_rows"] for s in by_snap.values()),
+            "snapshots": sorted(
+                ({**s, "buckets": sorted(s["buckets"])} for s in by_snap.values()),
+                key=lambda s: s["completed_at"],
+            ),
+        }
+
     # -- execution ----------------------------------------------------------
 
     def bucket_col(self):

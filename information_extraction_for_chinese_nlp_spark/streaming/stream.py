@@ -66,6 +66,60 @@ def stream_edges(
     return writer.start()
 
 
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental exact dedup — the streaming face of
+    ``operators.dedup.dedup_exact`` for continuously-arriving corpora:
+    a document survives iff its text hash was never emitted before,
+    within the micro-batch (min id wins, matching the batch operator)
+    or by any earlier batch.
+
+    State = the emitted hash set, stored as parquet under
+    ``<output_path>/_seen/batch_id=N``. Each batch OVERWRITES its own
+    two directories (uniques + seen-hashes), and the cross-batch anti
+    join reads only ``batch_id < N`` — so a replayed micro-batch
+    (foreachBatch is at-least-once) neither double-emits nor
+    anti-joins against its own previous attempt. Exactly-once at rest.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("_h", F.md5(F.col(text_col)))
+        keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+        firsts = hashed.join(keep, on=["_h", id_col], how="inner")
+        try:
+            seen = (
+                spark.read.parquet(f"{output_path}/_seen")
+                .filter(F.col("batch_id") < batch_id)
+                .select("_h")
+            )
+            firsts = firsts.join(seen, on="_h", how="left_anti")
+        except Exception:  # first batch: no _seen directory yet
+            pass
+        firsts = firsts.cache()
+        firsts.drop("_h").write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+        firsts.select("_h").write.mode("overwrite").parquet(
+            f"{output_path}/_seen/batch_id={batch_id}"
+        )
+        firsts.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def assemble_stream_stateful(
     transcripts_stream: DataFrame,
     gap_seconds: int = 3600,

@@ -91,9 +91,10 @@ def main() -> None:
         "vertices": io.read("vertices").count(),
         "canonical_edges": io.read("canonical_edges").count(),
         "wall_sec": round(time.time() - t0, 2),
-        "resumed_buckets_done": sorted(
-            ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets).done_buckets()
-        ) if args.resume else None,
+        "resume_metrics": (
+            ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets).metrics()
+            if args.resume else None
+        ),
     }))
     spark.stop()
 

@@ -71,3 +71,26 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     b = hyperplane_lsh_buckets(emb, n_planes=6).toPandas().set_index("vec_id")
     assert (a.bucket == b.bucket).all()
     assert a.bucket.str.len().eq(6).all()
+
+
+def test_ivf_index_reuse_matches_one_shot(spark, sf_dir):
+    """Build-once/search-many: a persisted index searched twice gives
+    the same answers as the one-shot wrapper."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q1 = emb.filter(F.col("vec_id") < 5)
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    assigned, centroids = ivf_assignments(emb, n_cells=8)
+    assigned = assigned.cache()
+    one_shot = {tuple(r) for r in ivf_topk(emb, q1, k=3, n_cells=8, n_probe=4).collect()}
+    reused = {tuple(r) for r in ivf_search(assigned, centroids, q1, k=3, n_probe=4).collect()}
+    assert reused == one_shot
+    # second wave reuses the same index without retraining
+    wave2 = ivf_search(assigned, centroids, q2, k=3, n_probe=4)
+    assert wave2.count() > 0
+    assert {r.qid for r in wave2.select("qid").distinct().collect()} == {5, 6, 7, 8, 9}

@@ -136,3 +136,20 @@ def test_pending_left_anti(spark, tmp_path):
     assert runner.pending(transcripts).count() == 0
     # idempotent re-run writes nothing new
     assert runner.run(transcripts, _edges) == 0
+
+
+def test_runner_metrics_surface(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=16, turns_per_conv=4).cache()
+    io = TableIO(spark, str(tmp_path / "wh6"))
+    runner = ResumableRunner(spark, io, "edges", n_buckets=4)
+    runner.run(transcripts, _edges, buckets_per_batch=2)
+
+    m = runner.metrics()
+    assert m["table"] == "edges"
+    assert m["buckets_done"] == 4 and m["buckets_pending"] == 0
+    assert len(m["snapshots"]) == 2  # one ack per batch
+    assert all(len(s["buckets"]) == 2 for s in m["snapshots"])
+    assert m["rows_acked"] > 0
+    # completed_at ordering is the lineage timeline
+    times = [s["completed_at"] for s in m["snapshots"]]
+    assert times == sorted(times)

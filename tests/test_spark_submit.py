@@ -38,7 +38,9 @@ def test_spark_submit_pyfiles_multi_executor(tmp_path):
     assert metrics["edges"] > 0
     assert metrics["vertices"] > 0
     assert metrics["canonical_edges"] == metrics["edges"]
-    assert metrics["resumed_buckets_done"] == list(range(8))
+    rm = metrics["resume_metrics"]
+    assert rm["buckets_done"] == 8 and rm["buckets_pending"] == 0
+    assert rm["rows_acked"] == metrics["edges"]
     # second submit with same warehouse: everything watermarked, no rework
     out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
                           cwd=str(tmp_path))

@@ -76,3 +76,59 @@ def test_windowed_edge_counts(spark, tmp_path):
         )
         assert got["n_turns"].sum() <= batch[0]["count"]
         assert (got["n_money_turns"] <= got["n_turns"]).all()
+
+
+def test_stream_dedup_exact_incremental(spark, tmp_path):
+    """Cross-batch exact dedup: a text emitted by an earlier batch never
+    re-emits; within a batch the min doc_id wins (batch-operator
+    parity); restart with the same checkpoint adds nothing."""
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_dedup_exact,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "docs_in")
+    # wave 1: 2 distinct texts (one duplicated in-batch), wave 2: one
+    # repeat of wave 1 + one new text
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "uniq")
+    ckpt = str(tmp_path / "dckpt")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_dedup_exact(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    # alpha kept once with its smallest id ANYWHERE it first appeared;
+    # file order is nondeterministic, so accept either wave's winner
+    texts = sorted(t for _, t in got)
+    assert texts == ["alpha", "beta", "gamma"]
+    alpha_id = next(i for i, t in got if t == "alpha")
+    assert alpha_id in (1, 4)
+
+    # restart on the same checkpoint: no new input, no new rows
+    q2 = stream_dedup_exact(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        out, ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got2 == got
