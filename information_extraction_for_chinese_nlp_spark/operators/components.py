@@ -40,7 +40,15 @@ def connected_components(
     if durable:
         sc = edges.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            # local-mode fallback; real clusters set a durable FS path
+            if not sc.master.startswith("local"):
+                # a driver-local tempdir is NOT shared storage: executors
+                # would checkpoint to their own /tmp and cross-node reads
+                # (or node loss) fail — the opposite of what durable=True
+                # promises. Fail loudly instead of silently degrading.
+                raise ValueError(
+                    "durable=True on a cluster requires "
+                    "sparkContext.setCheckpointDir(<shared fs path>) first"
+                )
             sc.setCheckpointDir(
                 os.path.join(tempfile.gettempdir(), "spark-cc-checkpoint")
             )

@@ -90,9 +90,20 @@ def matmul_topk(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, nid long, sim double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def round_half_up(x, decimals=4):
+        # Spark/DuckDB round() is HALF_UP away from zero; np.round is
+        # banker's half-even — mismatched .xxxx5 boundaries would flip
+        # the oracle's 4th decimal. `+ 0.0` folds -0.0 into +0.0.
+        scale = 10.0 ** decimals
+        return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x) + 0.0
 
     def topk_map(batches):
         from ..functions.worker import pin_worker_threads
@@ -113,7 +124,7 @@ def matmul_topk(
                 # the exact ordering the final window (and the oracle)
                 # uses; cutting local top-k on raw sims can keep the
                 # wrong member of a rounding-band tie
-                col = np.round(sims[:, j], 4)
+                col = round_half_up(sims[:, j])
                 order = np.lexsort((nids, -col))
                 for i in order[:kk]:
                     if nids[i] != qid:

@@ -92,16 +92,26 @@ def stream_dedup_exact(
         spark = batch_df.sparkSession
         hashed = batch_df.withColumn("_h", F.md5(F.col(text_col)))
         keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
-        firsts = hashed.join(keep, on=["_h", id_col], how="inner")
-        try:
-            seen = (
-                spark.read.parquet(f"{output_path}/_seen")
-                .filter(F.col("batch_id") < batch_id)
-                .select("_h")
-            )
+        # dropDuplicates: an at-least-once upstream can deliver the SAME
+        # (id, text) row twice in one batch — batch-operator parity means
+        # exactly one output row per distinct text
+        firsts = hashed.join(keep, on=["_h", id_col], how="inner").dropDuplicates(
+            ["_h", id_col]
+        )
+        # read ONLY fully-committed earlier batches, by explicit path —
+        # a blanket read of _seen/ would (a) swallow real IO errors into
+        # lost dedup state if guarded by a broad except, and (b) trip
+        # over this batch's own partial directory on replay
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        prev = []
+        for i in range(batch_id):
+            p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_seen/batch_id={i}")
+            if p.getFileSystem(hconf).exists(p):
+                prev.append(f"{output_path}/_seen/batch_id={i}")
+        if prev:
+            seen = spark.read.parquet(*prev).select("_h")
             firsts = firsts.join(seen, on="_h", how="left_anti")
-        except Exception:  # first batch: no _seen directory yet
-            pass
         firsts = firsts.cache()
         firsts.drop("_h").write.mode("overwrite").parquet(
             f"{output_path}/batch_id={batch_id}"

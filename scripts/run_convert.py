@@ -85,17 +85,23 @@ def main(argv: list[str] | None = None) -> dict:
         split = split_dataset(records, ratios=tuple(args.split_ratio), seed=args.seed)
     split = split.cache()
 
-    counts = {}
+    # counts in ONE aggregation over the cached frame; the per-split
+    # writes below reuse the cache instead of re-running the pipeline
+    counts = {
+        r["split"]: r["count"] for r in split.groupBy("split").count().collect()
+    }
     for name in ("train", "dev", "test"):
+        counts.setdefault(name, 0)
         part = split.filter(F.col("split") == name).drop("split")
         if args.coalesce:
             part = part.coalesce(1)
         write_jsonl(part, os.path.join(args.save_dir, name))
-        counts[name] = part.count()
 
+    quarantine = quarantine.cache()
     n_bad = quarantine.count()
     if n_bad:
         write_jsonl(quarantine, os.path.join(args.save_dir, "quarantine"))
+    quarantine.unpersist()
     out = {"counts": counts, "quarantined": n_bad,
            "total": sum(counts.values()), "save_dir": args.save_dir}
     print(json.dumps(out, ensure_ascii=False))
