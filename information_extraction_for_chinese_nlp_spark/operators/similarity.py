@@ -185,6 +185,55 @@ def hyperplane_lsh_buckets(
     return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """-> (vec_a, vec_b, sim): embedding-cosine near-dup pairs on an
+    UNLABELED corpus — the scale pattern `embedding_near_dup`'s
+    docstring promises (label block -> LSH bucket). Every vector
+    explodes to its Hamming-radius probe codes; candidate pairs form
+    inside probe buckets (two vectors meet iff their fingerprints are
+    within 2·max_hamming bits — within max_hamming they share a middle
+    code with certainty), then the exact cosine verifies. Candidate
+    volume is bucket-bound, never all-pairs; ``max_bucket`` caps
+    degenerate identical-fingerprint clusters like the dedup operators.
+    """
+    from ..operators.dedup import _bucket_pairs
+
+    b = hyperplane_lsh_buckets(vectors, n_planes, id_col=id_col, vec_col=vec_col)
+    probes = b.select(
+        "vec_id",
+        F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)).alias("code"),
+    )
+    buckets = (
+        probes.groupBy("code")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    cand = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(sim >= threshold)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -323,6 +323,29 @@ def _clone_queries(emb, scale: float | None):
 
 
 @register(
+    "embedding_near_dup_lsh",
+    """
+    SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0 AS sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def embedding_near_dup_lsh_q(spark, sf_dir):
+    """Unlabeled-corpus near-dup via multiprobe LSH blocking. Oracle by
+    planted ×2-scaled clones: hyperplane fingerprints are
+    scale-invariant, so each clone shares its original's bucket exactly
+    and MUST pair at cosine 1.0; threshold 0.99 excludes everything
+    organic (max organic cosine in the fixture corpus is 0.51)."""
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    base = emb.select("vec_id", "embedding")
+    corpus = base.unionByName(
+        _clone_queries(load(spark, sf_dir, "embeddings"), 2.0)
+    )
+    return lsh_near_dup_pairs(corpus, threshold=0.99, n_planes=6, max_hamming=1)
+
+
+@register(
     "ivf_topk",
     "SELECT vec_id + 100000 AS qid, 1.0 AS top1_sim FROM embeddings WHERE vec_id < 5",
 )
