@@ -88,3 +88,41 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """-> (doc_id, fp): MOSS-style winnowing fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03) — rolling k-gram hashes, then the
+    minimum of every w-hash window, deduplicated.
+
+    The winnowing guarantee: any match of length ≥ k + w - 1 between two
+    documents yields at least one shared fingerprint, with only ~2/(w+1)
+    of all hashes retained — localized partial-overlap detection that a
+    whole-document hash cannot give. All expressions are JVM-side and
+    byte-portable (md5-hex → int), so a SQL oracle reproduces the set.
+    Documents shorter than k + w - 1 normalized chars emit no rows.
+    """
+    # each stage lands in a real column: inlining `hs` into the window
+    # transform would re-evaluate the whole hash array PER WINDOW
+    # element (Catalyst doesn't CSE across nested lambdas) — O(n²) md5
+    # per document instead of O(n)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    normed = docs.select(F.col(id_col).alias("doc_id"), norm.alias("t")).filter(
+        F.length("t") >= k + w - 1
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("t"), i, k)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    hashed = normed.select("doc_id", hashes.alias("hs"))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - w),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )

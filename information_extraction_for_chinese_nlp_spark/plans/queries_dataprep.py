@@ -512,3 +512,34 @@ def fingerprint_q(spark, sf_dir):
     from ..operators.textstats import fingerprint
 
     return fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnow_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(t) - 7 + 1),
+               i -> ('0x' || substring(md5(substring(t, CAST(i AS INT), 8)), 1, 8))::BIGINT
+             ) AS hs
+      FROM norm
+      WHERE length(t) >= 11  -- k + w - 1
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(0, len(hs) - 4 + 1),
+             j -> list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + 4 AS INT)))
+           ))) AS fp
+    FROM hashed
+    """,
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    from ..operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"), k=8, w=4)

@@ -81,3 +81,27 @@ def test_lsh_no_cross_pair_leakage(spark):
            minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2).collect()}
     # distractors share no tokens with anything: they can never pair
     assert not any(a.startswith("z") or b.startswith("z") for a, b in got)
+
+
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. guarantee: any shared substring of length
+    ≥ k + w - 1 produces at least one shared fingerprint; disjoint
+    random texts share none."""
+    from information_extraction_for_chinese_nlp_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = [
+        ("a", "prefix one " + shared + " suffix alpha"),
+        ("b", "completely different opening " + shared + " and ending"),
+        ("c", "zzz qqq vvv kkk mmm nnn ppp rrr sss ttt uuu www xxx yyy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc["a"] & by_doc["b"], "shared span must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
