@@ -162,3 +162,66 @@ class TableIO:
 
     def snapshots(self, table: str) -> list[dict]:
         return self._manifest().get(table, [])
+
+    @staticmethod
+    def _is_missing_table(exc: Exception) -> bool:
+        s = str(exc)
+        return (
+            "TABLE_OR_VIEW_NOT_FOUND" in s
+            or "PATH_NOT_FOUND" in s
+            or "not found" in s.lower()
+        )
+
+    def read_if_exists(self, table: str) -> DataFrame | None:
+        """read(), or None when the table was never written — in either
+        storage mode (parquet manifest: FileNotFoundError; Iceberg:
+        missing-table AnalysisException)."""
+        try:
+            return self.read(table)
+        except FileNotFoundError:
+            return None
+        except Exception as exc:
+            from pyspark.errors import AnalysisException
+
+            if isinstance(exc, AnalysisException) and self._is_missing_table(exc):
+                return None
+            raise
+
+    def prune_unacked(self, table: str, acked_ids: set[str],
+                      stamp_col: str = "snapshot_id") -> int:
+        """Remove data whose snapshot id is NOT in ``acked_ids``.
+        Parquet mode drops manifest entries (file-level); Iceberg mode
+        issues a row-level DELETE keyed on the stamped provenance
+        column (TableIO snapshot ids are its own, not Iceberg's).
+        Returns the pruned snapshot count (-1 in Iceberg mode: the
+        delete is the contract, the count isn't tracked)."""
+        if self.use_iceberg:  # pragma: no cover - no Iceberg jar here
+            from pyspark.errors import AnalysisException
+
+            ids = ", ".join(f"'{s}'" for s in sorted(acked_ids)) or "''"
+            try:
+                self.spark.sql(
+                    f"DELETE FROM {self.warehouse}.{table} "
+                    f"WHERE {stamp_col} NOT IN ({ids})"
+                )
+            except AnalysisException as exc:
+                if not self._is_missing_table(exc):
+                    raise
+            return -1
+        m = self._manifest()
+        snaps = m.get(table, [])
+        orphans = [s for s in snaps if s["snapshot_id"] not in acked_ids]
+        if orphans:
+            m[table] = [s for s in snaps if s["snapshot_id"] in acked_ids]
+            self._save_manifest(m)
+        return len(orphans)
+
+    def count_snapshot_rows(self, table: str, snapshot_id: str,
+                            stamp_col: str | None = None) -> int:
+        """Rows belonging to one snapshot — file-addressed in parquet
+        mode, stamp-column-addressed in Iceberg mode."""
+        if self.use_iceberg:  # pragma: no cover - no Iceberg jar here
+            from pyspark.sql import functions as F
+
+            return self.read(table).filter(F.col(stamp_col) == snapshot_id).count()
+        return self.read_snapshot(table, snapshot_id).count()

@@ -62,16 +62,10 @@ class ResumableRunner:
     # -- watermark table ----------------------------------------------------
 
     def watermarks(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.io.read(self.wm_table)
-        except FileNotFoundError:  # parquet manifest: table never written
+        df = self.io.read_if_exists(self.wm_table)
+        if df is None:
             return self.spark.createDataFrame([], WATERMARK_SCHEMA)
-        except AnalysisException as exc:  # Iceberg: missing table
-            if "TABLE_OR_VIEW_NOT_FOUND" in str(exc) or "not found" in str(exc).lower():
-                return self.spark.createDataFrame([], WATERMARK_SCHEMA)
-            raise
+        return df
 
     def done_buckets(self) -> set[int]:
         return {
@@ -125,42 +119,19 @@ class ResumableRunner:
         wm = self.watermarks().select(F.col("bucket").alias("_bucket")).distinct()
         return with_bucket.join(F.broadcast(wm), on="_bucket", how="left_anti")
 
-    def _prune_orphan_snapshots(self) -> int:
+    def _prune_orphan_snapshots(self, stamp_snapshot_col: str | None) -> int:
         """Drop output snapshots that have no watermark — the crash
         window is 'snapshot appended, ack not yet written', and the
         batch will re-run, so an orphan snapshot would double its rows.
-
-        Parquet mode prunes via the JSON manifest. Iceberg mode prunes
-        by ROW-LEVEL DELETE on the stamped ``snapshot_id`` provenance
-        column (v2 deletes) — TableIO's snapshot ids are its own, not
-        Iceberg's, so metadata rollback doesn't apply.
-        """
+        Storage-mode specifics (manifest entries vs row-level DELETE on
+        the stamp column) live behind ``TableIO.prune_unacked``."""
         acked = {
             r.snapshot_id
             for r in self.watermarks().select("snapshot_id").distinct().collect()
         }
-        if self.io.use_iceberg:  # pragma: no cover - no Iceberg jar here
-            from pyspark.errors import AnalysisException
-
-            ids = ", ".join(f"'{s}'" for s in sorted(acked)) or "''"
-            try:
-                self.spark.sql(
-                    f"DELETE FROM {self.io.warehouse}.{self.table} "
-                    f"WHERE snapshot_id NOT IN ({ids})"
-                )
-            except AnalysisException as exc:
-                if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and (
-                    "not found" not in str(exc).lower()
-                ):
-                    raise
-            return -1  # unknown count; the delete is the contract
-        m = self.io._manifest()
-        snaps = m.get(self.table, [])
-        orphans = [s for s in snaps if s["snapshot_id"] not in acked]
-        if orphans:
-            m[self.table] = [s for s in snaps if s["snapshot_id"] in acked]
-            self.io._save_manifest(m)
-        return len(orphans)
+        return self.io.prune_unacked(
+            self.table, acked, stamp_col=stamp_snapshot_col or "snapshot_id"
+        )
 
     def run(
         self,
@@ -186,7 +157,7 @@ class ResumableRunner:
                 "Iceberg mode requires stamp_snapshot_col: orphan pruning "
                 "is a row-level DELETE keyed on the provenance column"
             )
-        self._prune_orphan_snapshots()
+        self._prune_orphan_snapshots(stamp_snapshot_col)
         done = self.done_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
         written = 0
@@ -200,16 +171,9 @@ class ResumableRunner:
             snapshot_id = self.io.write(
                 out, self.table, mode="append", stamp_snapshot_col=stamp_snapshot_col
             )
-            if self.io.use_iceberg:  # pragma: no cover - no Iceberg jar here
-                # TableIO snapshot ids are provenance stamps, not Iceberg
-                # snapshot ids — address the rows by the stamped column
-                n = (
-                    self.io.read(self.table)
-                    .filter(F.col(stamp_snapshot_col) == snapshot_id)
-                    .count()
-                )
-            else:
-                n = self.io.read_snapshot(self.table, snapshot_id).count()
+            n = self.io.count_snapshot_rows(
+                self.table, snapshot_id, stamp_col=stamp_snapshot_col
+            )
             self._ack_batch(batch, snapshot_id, n)
             written += n
         return written

@@ -90,7 +90,12 @@ def stream_dedup_exact(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashed = batch_df.withColumn("_h", F.md5(F.col(text_col)))
+        # NULL-text rows get a sentinel hash (never a 32-hex md5) so they
+        # form ONE canonical group instead of vanishing in null-unsafe
+        # joins — dedup_exact's groupBy keeps its NULL group too
+        hashed = batch_df.withColumn(
+            "_h", F.coalesce(F.md5(F.col(text_col)), F.lit("<null>"))
+        )
         keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
         # dropDuplicates: an at-least-once upstream can deliver the SAME
         # (id, text) row twice in one batch — batch-operator parity means
@@ -98,19 +103,24 @@ def stream_dedup_exact(
         firsts = hashed.join(keep, on=["_h", id_col], how="inner").dropDuplicates(
             ["_h", id_col]
         )
-        # read ONLY fully-committed earlier batches, by explicit path —
-        # a blanket read of _seen/ would (a) swallow real IO errors into
-        # lost dedup state if guarded by a broad except, and (b) trip
-        # over this batch's own partial directory on replay
+        # one partition-discovery read with an EXPLICIT schema: no
+        # footer sampling (this batch's own in-flight directory may hold
+        # a partial file on replay — partition pruning on batch_id < N
+        # never touches its files), no broad except swallowing real IO
+        # errors, one driver listing instead of per-batch exists() RPCs.
+        # Very long streams should periodically compact _seen into one
+        # snapshot to bound the listing.
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
-        prev = []
-        for i in range(batch_id):
-            p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_seen/batch_id={i}")
-            if p.getFileSystem(hconf).exists(p):
-                prev.append(f"{output_path}/_seen/batch_id={i}")
-        if prev:
-            seen = spark.read.parquet(*prev).select("_h")
+        seen_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_seen")
+        if seen_root.getFileSystem(hconf).exists(seen_root):
+            seen = (
+                spark.read.schema("_h string, batch_id long")
+                .option("basePath", f"{output_path}/_seen")
+                .parquet(f"{output_path}/_seen")
+                .filter(F.col("batch_id") < batch_id)
+                .select("_h")
+            )
             firsts = firsts.join(seen, on="_h", how="left_anti")
         firsts = firsts.cache()
         firsts.drop("_h").write.mode("overwrite").parquet(

@@ -99,7 +99,7 @@ def test_stream_dedup_exact_incremental(spark, tmp_path):
         [(1, "alpha"), (2, "alpha"), (3, "beta")], schema
     ).coalesce(1).write.mode("append").parquet(src)
     spark.createDataFrame(
-        [(4, "alpha"), (5, "gamma")], schema
+        [(4, "alpha"), (5, "gamma"), (6, None), (7, None)], schema
     ).coalesce(1).write.mode("append").parquet(src)
 
     out = str(tmp_path / "uniq")
@@ -115,11 +115,14 @@ def test_stream_dedup_exact_incremental(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "text").collect()
     }
     # alpha kept once with its smallest id ANYWHERE it first appeared;
-    # file order is nondeterministic, so accept either wave's winner
-    texts = sorted(t for _, t in got)
-    assert texts == ["alpha", "beta", "gamma"]
+    # file order is nondeterministic, so accept either wave's winner.
+    # NULL-text docs form ONE canonical group (batch-operator parity),
+    # they must not silently vanish.
+    texts = sorted((t if t is not None else "<null>") for _, t in got)
+    assert texts == ["<null>", "alpha", "beta", "gamma"]
     alpha_id = next(i for i, t in got if t == "alpha")
     assert alpha_id in (1, 4)
+    assert next(i for i, t in got if t is None) == 6
 
     # restart on the same checkpoint: no new input, no new rows
     q2 = stream_dedup_exact(
