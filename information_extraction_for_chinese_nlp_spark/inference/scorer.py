@@ -153,8 +153,13 @@ class UIEOnnxScorer:
             adjusted, drift = drift_offsets(enc["offset_mapping"])
             spans = []
             for ts, te, prob in decode_spans(start_probs[i], end_probs[i], limit):
-                # padded tail probs are zero; real pointers past the
-                # offset map (specials/truncation) are dropped
+                # Batched==unbatched parity invariant: padding is strictly
+                # TRAILING, and any decoded pointer touching a pad (or
+                # special/truncated) position falls outside this row's
+                # offset map and is dropped by the bound check below. Real
+                # pointer heads give NO guarantee that attention-masked
+                # positions score ~0, so this guard is load-bearing — do
+                # not remove it on the assumption that pad probs are zero.
                 if ts >= len(adjusted) or te >= len(adjusted):
                     continue
                 s_char, e_char = spans_from_token_ids(ts, te, adjusted, drift)

@@ -12,7 +12,7 @@ constant factor while having the same shuffle profile per round.
 
 from __future__ import annotations
 
-import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -37,6 +37,7 @@ def connected_components(
     for cluster jobs where a lost executor would otherwise restart the
     whole iteration history.
     """
+    cleanup_dir: str | None = None
     if durable:
         sc = edges.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -49,43 +50,59 @@ def connected_components(
                     "durable=True on a cluster requires "
                     "sparkContext.setCheckpointDir(<shared fs path>) first"
                 )
-            sc.setCheckpointDir(
-                os.path.join(tempfile.gettempdir(), "spark-cc-checkpoint")
-            )
+            # Per-run unique subdir (NOT a fixed shared path): repeated
+            # runs must not accumulate unbounded checkpoint RDD files in
+            # /tmp. setCheckpointDir is global SparkContext state — we
+            # only set it when unset, and we delete our own subdir after
+            # convergence (see finally below).
+            cleanup_dir = tempfile.mkdtemp(prefix="spark-cc-checkpoint-")
+            sc.setCheckpointDir(cleanup_dir)
 
     def cut(df: DataFrame) -> DataFrame:
         return df.checkpoint() if durable else df.localCheckpoint()
 
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = cut(sym.filter(F.col("a") != F.col("b")).distinct())
+    try:
+        sym = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        sym = cut(sym.filter(F.col("a") != F.col("b")).distinct())
 
-    labels = cut(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+        labels = cut(
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
 
-    for _ in range(max_iter):
-        # neighbor labels: for edge (a,b), b hears a's component
-        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("component")
-        )
-        new_labels = cut(
-            labels.select("node", "component")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        for _ in range(max_iter):
+            # neighbor labels: for edge (a,b), b hears a's component
+            msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+                F.col("b").alias("node"), F.col("component")
+            )
+            new_labels = cut(
+                labels.select("node", "component")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if cleanup_dir is not None:
+            # detach the result from the reliable checkpoint files (the
+            # localCheckpoint materializes its blocks executor-side) so
+            # this run's checkpoint dir can be removed without breaking
+            # later reads of the returned frame.
+            labels = labels.localCheckpoint()
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        return labels
+    except BaseException:
+        if cleanup_dir is not None:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise

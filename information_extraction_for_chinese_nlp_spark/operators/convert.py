@@ -83,8 +83,14 @@ def regularize_documents(docs: DataFrame) -> DataFrame:
 
 
 def to_model_input(docs: DataFrame, prompts: Sequence[str],
-                   max_seq_len: int = 512) -> DataFrame:
-    """documents-with-spans -> D3 chunked records with routed gold spans."""
+                   max_seq_len: int = 512,
+                   extra_cols: Sequence[str] = ()) -> DataFrame:
+    """documents-with-spans -> D3 chunked records with routed gold spans.
+
+    ``extra_cols`` are document-level columns carried through unchanged
+    (e.g. a `split` assigned at doc granularity BEFORE chunk fan-out, so
+    all records of one document land in the same split — the reference's
+    do_split ordering, run_convert.py:100-127)."""
     from .expansion import expand_prompts
 
     prompted = expand_prompts(docs, prompts, spans_col="spans")
@@ -92,7 +98,8 @@ def to_model_input(docs: DataFrame, prompts: Sequence[str],
         prompted, "text", "prompt", F.col("result_list"), max_seq_len
     )
     return chunked.select(
-        "doc_id", "chunk_idx", "chunk_start", "content", "prompt", "result_list"
+        "doc_id", "chunk_idx", "chunk_start", "content", "prompt", "result_list",
+        *extra_cols,
     )
 
 

@@ -185,6 +185,14 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
     bpb = n_bits // n_bands
     if n_bands * bpb != n_bits:
         raise ValueError("n_bands must divide n_bits")
+    if max_hamming > n_bands - 1:
+        # beyond n_bands-1 the pigeonhole guarantee breaks: a pair at
+        # distance in (n_bands-1, max_hamming] can differ in EVERY band
+        # and is silently missed — the return contract would lie.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"n_bands-1={n_bands - 1}; raise n_bands or lower max_hamming"
+        )
     fp = simhash(docs, n_bits, id_col, text_col)
     mask = (1 << bpb) - 1
     band_vals = F.array(

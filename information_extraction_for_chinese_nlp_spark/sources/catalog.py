@@ -163,14 +163,27 @@ class TableIO:
     def snapshots(self, table: str) -> list[dict]:
         return self._manifest().get(table, [])
 
-    @staticmethod
-    def _is_missing_table(exc: Exception) -> bool:
-        s = str(exc)
-        return (
-            "TABLE_OR_VIEW_NOT_FOUND" in s
-            or "PATH_NOT_FOUND" in s
-            or "not found" in s.lower()
+    # Error classes that mean "this table was never written". Anything
+    # else (e.g. column resolution on a schema-damaged watermark table)
+    # must PROPAGATE: misreading it as 'never written' would make
+    # watermarks() return empty and _prune_orphan_snapshots then drop
+    # every acked snapshot — silently discarding completed work.
+    _MISSING_TABLE_CLASSES = (
+        "TABLE_OR_VIEW_NOT_FOUND",
+        "PATH_NOT_FOUND",
+        "UNABLE_TO_INFER_SCHEMA",  # empty path created but nothing written
+    )
+
+    @classmethod
+    def _is_missing_table(cls, exc: Exception) -> bool:
+        cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
         )
+        if cond is not None:
+            klass = cond()
+            if klass is not None:
+                return klass in cls._MISSING_TABLE_CLASSES
+        return any(k in str(exc) for k in cls._MISSING_TABLE_CLASSES)
 
     def read_if_exists(self, table: str) -> DataFrame | None:
         """read(), or None when the table was never written — in either

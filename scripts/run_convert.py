@@ -75,14 +75,21 @@ def main(argv: list[str] | None = None) -> dict:
     docs, quarantine = parse_labelstudio(raw)
     if not args.no_regularize:
         docs = regularize_documents(docs)
-    records = to_model_input(docs, prompts, max_seq_len=args.max_seq_len)
-    if not args.no_shuffle and not args.hash_split:
-        records = shuffle_rows(records, seed=args.seed)
+    # Split at DOCUMENT granularity, BEFORE chunk fan-out — the
+    # reference's do_split partitions raw documents before
+    # convert_format (run_convert.py:100-127); splitting the expanded
+    # records would let chunks of one document straddle train/test,
+    # leaking identical source text across splits.
     if args.hash_split:
-        split = split_hash(records, ratios=tuple(args.split_ratio), seed=args.seed,
-                           cols=("doc_id", "prompt", "chunk_idx"))
+        docs = split_hash(docs, ratios=tuple(args.split_ratio), seed=args.seed,
+                          cols=("doc_id",))
     else:
-        split = split_dataset(records, ratios=tuple(args.split_ratio), seed=args.seed)
+        docs = split_dataset(docs, ratios=tuple(args.split_ratio), seed=args.seed,
+                             order_cols=("doc_id",))
+    split = to_model_input(docs, prompts, max_seq_len=args.max_seq_len,
+                           extra_cols=("split",))
+    if not args.no_shuffle and not args.hash_split:
+        split = shuffle_rows(split, seed=args.seed)
     split = split.cache()
 
     # counts in ONE aggregation over the cached frame; the per-split
