@@ -73,3 +73,73 @@ def test_canonical_text_is_most_frequent_surface(spark):
     assert len(v) == 1
     assert v.iloc[0].canonical_text == "1,680元"
     assert v.iloc[0].n_mentions == 3
+
+
+def _junk_edges(spark):
+    """Planted clusters of unparseable surfaces: three clusters of 6
+    near-identical variants each (pairwise bigram Jaccard ≥ ~0.7), ten
+    dissimilar singletons, spread over two predicates."""
+    rows = []
+    for c, base in enumerate(["ocr-junk-cluster", "colloquial-noise", "smudged-amount"]):
+        pred = "醫療費用" if c % 2 == 0 else "薪資收入"
+        for i in range(6):
+            rows.append((f"c{c}{i}", pred, f"{base}-{i}", 0.9, f"c{c}{i}", 0, 10))
+    for i in range(10):
+        rows.append((f"s{i}", "醫療費用", f"zq{i}xw{i * 7}ky{i * 13}", 0.9, f"s{i}", 0, 10))
+    return _edges(spark, rows)
+
+
+def test_banded_pairs_match_exact_allpairs(spark):
+    """The banded generator must reproduce the quadratic baseline's pair
+    set on planted clusters (recall 1-(1-s^r)^b ≈ 0.9993+ at s=0.6 with
+    the default b=8×r=1 — deterministic md5 banding, asserted exactly)."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import (
+        raw_match_pairs,
+        raw_match_pairs_exact,
+    )
+
+    normed = normalize_objects(_junk_edges(spark))
+    got = {(r["src"], r["dst"]) for r in raw_match_pairs(normed, 0.6).collect()}
+    want = {(r["src"], r["dst"]) for r in raw_match_pairs_exact(normed, 0.6).collect()}
+    assert want, "fixture must plant at least one qualifying pair"
+    assert got == want
+    # cross-pred pairs never form (pred is part of the bucket key)
+    for a, b in got:
+        assert a.split("#")[0] == b.split("#")[0]
+
+
+def test_banded_pair_generation_has_no_join(spark):
+    """Scale shape: candidate generation is ONE aggregation chain —
+    no self-join of the raw-surface table anywhere in the plan."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import (
+        raw_match_pairs,
+    )
+
+    normed = normalize_objects(_junk_edges(spark))
+    plan = (
+        raw_match_pairs(normed, 0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+
+
+def test_banded_max_bucket_caps_degenerate_clusters(spark):
+    """A bucket over the cap is dropped (same contract as the dedup
+    operators) — identical surfaces land in one bucket per band."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import (
+        raw_match_pairs,
+    )
+
+    rows = [(f"c{i}", "醫療費用", "same-junk-surface", 0.9, f"c{i}", 0, 10)
+            for i in range(5)]
+    # identical obj strings collapse in the distinct() — add distinct
+    # variants that still bucket together
+    rows = [(f"c{i}", "醫療費用", f"same-junk-surface-{i}", 0.9, f"c{i}", 0, 10)
+            for i in range(5)]
+    normed = normalize_objects(_edges(spark, rows))
+    uncapped = raw_match_pairs(normed, 0.6).count()
+    capped = raw_match_pairs(normed, 0.6, max_bucket=2).count()
+    assert uncapped > 0
+    assert capped < uncapped
