@@ -263,8 +263,59 @@ def ivf_assignments(
     return assigned, centroids
 
 
+def _assign_query_cells(
+    queries: DataFrame,
+    centroids: list,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (qid, cell): each query exploded to its n_probe nearest cells.
+
+    The centroid matrix ships in the task closure (tiny by contract) and
+    distances are one numpy pass per Arrow batch, so the PLAN is
+    constant-size regardless of n_cells. The Catalyst-literal
+    alternative (``_nearest_cells``) builds one struct expression per
+    centroid with per-dimension literal arrays — at a realistic 100 TB
+    index (n_cells ≥ 4096, dim ≥ 768) that is millions of literal nodes
+    and plan compile/codegen blows up before any data moves.
+
+    Tie semantics match ``_nearest_cells`` exactly: stable argsort on
+    squared L2 breaks ties by ascending cell index, the same order as
+    ``array_sort`` over struct(d, cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    k = min(n_probe, len(centroids))
+
+    def assign(batches):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        for pdf in batches:
+            out_q: list = []
+            out_c: list = []
+            for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                q = np.asarray(list(vec), dtype=np.float64)
+                d = ((cmat - q) ** 2).sum(axis=1)
+                for c in np.argsort(d, kind="stable")[:k]:
+                    out_q.append(qid)
+                    out_c.append(int(c))
+            yield pd.DataFrame({"qid": out_q, "cell": out_c})
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    return queries.select(id_col, vec_col).mapInPandas(
+        assign, f"qid {id_type}, cell int"
+    )
+
+
 def _nearest_cells(vec_col, centroids, n_probe: int):
-    """Indices of the n_probe nearest centroids (JVM-side expressions)."""
+    """Indices of the n_probe nearest centroids (JVM-side expressions).
+
+    Plan size is LINEAR in n_cells × dim — kept only as the parity
+    oracle for ``_assign_query_cells``; do not use beyond toy n_cells."""
     dists = F.array(
         *[
             F.struct(
@@ -295,20 +346,32 @@ def ivf_search(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    catalyst_assign: bool = False,
 ) -> DataFrame:
     """Search a prebuilt IVF index (``ivf_assignments`` output). The
     index is built ONCE and amortized over many query waves — the
     assignments table persists like any table (TableIO/Iceberg), the
     centroid list is a tiny JSON-able model. Candidates come only from
-    each query's n_probe nearest cells."""
+    each query's n_probe nearest cells.
+
+    Cell assignment for the (small, broadcast) query side runs as a
+    numpy argmin in one mapInPandas (constant plan size in n_cells);
+    ``catalyst_assign=True`` switches to the literal-expression variant
+    — parity-tested equal, but its plan grows with n_cells, so it exists
+    only as the test oracle."""
     c = assigned.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec"), "cell"
     )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).withColumn(
-        "cell", F.explode(_nearest_cells(F.col("qvec"), centroids, n_probe))
     )
+    if catalyst_assign:
+        q = q.withColumn(
+            "cell", F.explode(_nearest_cells(F.col("qvec"), centroids, n_probe))
+        )
+    else:
+        cells = _assign_query_cells(queries, centroids, n_probe, id_col, vec_col)
+        q = q.join(cells, on="qid")
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("qid") != F.col("nid"))

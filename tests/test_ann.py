@@ -122,3 +122,53 @@ def test_lsh_near_dup_pairs_on_unlabeled_corpus(spark):
     assert recall >= 0.8, f"near-dup recall {recall}"
     # precision: nothing organic reaches cosine 0.9 in random 16-d data
     assert pairs <= planted
+
+
+def test_ivf_numpy_assignment_matches_catalyst(spark, sf_dir):
+    """The scale-safe numpy query-cell assignment must equal the
+    Catalyst-literal oracle (same squared-L2, same ascending-cell tie
+    order) through the full search, at n_cells=16."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    assigned, centroids = ivf_assignments(emb, n_cells=16)
+    assigned = assigned.cache()
+    new = {tuple(r) for r in
+           ivf_search(assigned, centroids, queries, k=3, n_probe=4).collect()}
+    old = {tuple(r) for r in
+           ivf_search(assigned, centroids, queries, k=3, n_probe=4,
+                      catalyst_assign=True).collect()}
+    assert new == old
+    assert len(new) > 0
+
+
+def test_ivf_plan_constant_in_n_cells(spark, sf_dir):
+    """At n_cells=1024 the literal-expression plan would hold ~1024×dim
+    literal nodes; the numpy assignment plan must stay constant-size
+    (and actually execute)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.RandomState(3)
+    cents_small = [list(map(float, v)) for v in rng.randn(16, dim)]
+    cents_big = [list(map(float, v)) for v in rng.randn(1024, dim)]
+    assigned = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 1024).cast("int").alias("cell")
+    )
+
+    def plan_len(cents):
+        df = ivf_search(assigned, cents, queries, k=3, n_probe=4)
+        return len(df._jdf.queryExecution().executedPlan().toString()), df
+
+    small_len, _ = plan_len(cents_small)
+    big_len, big_df = plan_len(cents_big)
+    assert big_len < 2 * small_len, (small_len, big_len)
+    assert big_df.count() >= 0  # executes without codegen blowup
