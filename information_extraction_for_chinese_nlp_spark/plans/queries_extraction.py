@@ -118,6 +118,103 @@ def money_normalize_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P2 — span-preserving regularize (reference utils/json_utils.py:94-159).
+# The DuckDB oracle reproduces the rebase INDEPENDENTLY via prefix-length
+# arithmetic: new_start = start − (len(text[:start]) − len(scrub(text[:start]))).
+# Only the raw fixture rows are shared between the two sides.
+# ---------------------------------------------------------------------------
+
+def _p2_doc(*pieces):
+    """(text, spans) from labeled pieces: plain strings pass through,
+    ('label', 'span text') tuples become gold spans at their position."""
+    text, spans = "", []
+    for p in pieces:
+        if isinstance(p, tuple):
+            label, s = p
+            spans.append((len(text), len(text) + len(s), s, label))
+            text += s
+        else:
+            text += p
+    return text, spans
+
+
+_P2_DOCS = [
+    _p2_doc("原告 支出\n", ("醫療費用", "98,532元"), "　並請求\n",
+            ("精神慰撫金額", "80,000元"), " 整"),
+    # removable chars INSIDE a span: both boundaries and the span text scrub
+    _p2_doc("被告應給付", ("醫療費用", "1,6 80\n元"), "　及利息"),
+    # span at offset 0, U+3000 runs, literal backslash-n OUTSIDE spans
+    # (P2 keeps it in the document text — reference parity)
+    _p2_doc(("薪資收入", "45,000元"), "　　每月\\n另計 獎金\n",
+            ("薪資收入", "90,000元")),
+    # no spans at all
+    _p2_doc("無任何 金額\n記載　"),
+]
+
+# one VALUES row per span, span_idx = rank by start (regularize sorts)
+_P2_ROWS = [
+    (f"p2-{i}", text, spans) for i, (text, spans) in enumerate(_P2_DOCS)
+]
+
+
+def _p2_values() -> str:
+    rows = []
+    for doc_id, text, spans in _P2_ROWS:
+        for idx, (s, e, st, label) in enumerate(sorted(spans)):
+            rows.append(f"('{doc_id}', '{text}', {idx}, {s}, {e}, '{st}', '{label}')")
+    return ("(VALUES " + ", ".join(rows)
+            + ") AS p(doc_id, text, span_idx, s0, e0, span_text0, label)")
+
+
+_P2_CHARS = "[\n 　]"  # the single-char scrub classes (NOT the literal \\n)
+
+
+@register(
+    "regularize_spans",
+    f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_P2_CHARS}', '', 'g') AS scrubbed,
+           CAST(span_idx AS BIGINT) AS span_idx,
+           CAST(s0 - (length(text[1:s0]) -
+                length(regexp_replace(text[1:s0], '{_P2_CHARS}', '', 'g')))
+                AS BIGINT) AS span_start,
+           CAST(e0 - (length(text[1:e0]) -
+                length(regexp_replace(text[1:e0], '{_P2_CHARS}', '', 'g')))
+                AS BIGINT) AS span_end,
+           regexp_replace(regexp_replace(span_text0, '{_P2_CHARS}', '', 'g'),
+                          '\\\\n', '', 'g') AS span_text,
+           label
+    FROM {_p2_values()}
+    """,
+)
+def regularize_spans_q(spark, sf_dir):
+    from ..functions.text import regularize_udf
+
+    df = spark.createDataFrame(
+        _P2_ROWS,
+        "doc_id string, text string, "
+        "spans array<struct<start:int,end:int,text:string,label:string>>",
+    )
+    reg = df.withColumn("_r", regularize_udf(F.col("text"), F.col("spans")))
+    return (
+        reg.select(
+            "doc_id",
+            F.col("_r.text").alias("scrubbed"),
+            F.posexplode("_r.spans").alias("span_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            "scrubbed",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("s.start").cast("long").alias("span_start"),
+            F.col("s.end").cast("long").alias("span_end"),
+            F.col("s.text").alias("span_text"),
+            F.col("s.label").alias("label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Entity linking, blocked on the normalized digit key (SQL-expressible
 # variant; the n-gram-scored linker is `link_entities`, tested in pytest
 # and registered rows-only below).
