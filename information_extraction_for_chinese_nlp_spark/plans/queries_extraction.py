@@ -312,19 +312,103 @@ def connected_components_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (model-backed / engine-hash-specific — no SQL oracle;
-# the driver records the weaker rows-only check, correctness is pinned by
-# the pytest reference-oracle suite instead).
+# The full stub pipeline, ORACLED end-to-end. The whole dataflow is
+# deterministic md5 arithmetic, so DuckDB reproduces it independently:
+#   documents -> 3-turn transcripts (mention = md5-picked entity+money
+#   inserted at len/3) -> assemble -> scrub -> chunk windows of
+#   512-len(prompt)-3 -> stub regex match (prompt-adjacent money) ->
+#   md5-derived start/end probabilities -> p_s·p_e > 0.5 threshold.
+# The corpus is ASCII-ish (no CJK), so the ONLY possible match per doc
+# is the injected mention; the oracle computes its scrubbed offset via
+# prefix-length arithmetic and handles the chunk-boundary tail (a
+# mention straddling a window matches only its in-window money PREFIX —
+# every prefix of the money surfaces is itself regex-valid).
 # ---------------------------------------------------------------------------
 
 
-@register("triples_pipeline")
+def _scrub_sql(x: str) -> str:
+    """Reference scrub order: single-char classes, then literal \\n."""
+    return (
+        f"regexp_replace(regexp_replace({x}, '[{chr(10)} 　]', '', 'g'), "
+        f"'\\\\n', '', 'g')"
+    )
+
+
+def _sql_list(items) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+def _md5_pick_sql(tag: str, n: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{tag}#' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {n} AS INT) + 1"
+    )
+
+
+def _unit_sql(parts: str) -> str:
+    """_stable_unit: int(md5(parts)[:8], 16) / 0xFFFFFFFF."""
+    return (
+        f"(('0x' || substring(md5({parts}), 1, 8))::BIGINT / 4294967295.0)"
+    )
+
+
+def _triples_sql() -> str:
+    from .. import ENTITY_TYPES
+    from ..sources.transcripts import _MONEY
+
+    return f"""
+    WITH picked AS (
+      SELECT doc_id, text,
+             CAST(floor(length(text) / 3) AS INT) AS third,
+             ({_sql_list(ENTITY_TYPES)})[{_md5_pick_sql('ent#42', len(ENTITY_TYPES))}] AS pred,
+             ({_sql_list(_MONEY)})[{_md5_pick_sql('money#43', len(_MONEY))}] AS money
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    geom AS (
+      SELECT doc_id, pred, money,
+             length({_scrub_sql('text[1:third]')}) AS p,
+             512 - length(pred) - 3 AS w
+      FROM picked
+    ),
+    avail AS (
+      SELECT doc_id, pred, money, p, w,
+             p + length(pred) AS s_abs,
+             ((p // w) + 1) * w - (p + length(pred)) AS n_avail
+      FROM geom
+    ),
+    spans AS (
+      SELECT doc_id, pred,
+             money[1:least(length(money), n_avail)] AS obj,
+             s_abs,
+             s_abs + least(length(money), n_avail) AS e_abs
+      FROM avail WHERE n_avail >= 1
+    ),
+    scored AS (
+      SELECT doc_id, pred, obj, s_abs, e_abs,
+             (0.51 + 0.48 * {_unit_sql("pred || '|' || obj || '|s'")})
+           * (0.51 + 0.48 * {_unit_sql("pred || '|' || obj || '|e'")}) AS prob
+      FROM spans
+    )
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS subj,
+           pred, obj, prob,
+           'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(s_abs AS BIGINT) AS start,
+           CAST(e_abs AS BIGINT) AS "end"
+    FROM scored WHERE prob > 0.5
+    """
+
+
+@register("triples_pipeline", _triples_sql())
 def triples_pipeline(spark, sf_dir):
     from ..plans.pipeline import extract_triples
     from ..sources.transcripts import transcripts_from_documents
 
     docs = load(spark, sf_dir, "documents")
-    return extract_triples(transcripts_from_documents(docs), max_seq_len=512)
+    edges = extract_triples(transcripts_from_documents(docs), max_seq_len=512)
+    return edges.withColumn("start", F.col("start").cast("long")).withColumn(
+        "end", F.col("end").cast("long")
+    )
 
 
 @register("graph_vertices")

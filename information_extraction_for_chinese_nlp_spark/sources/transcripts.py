@@ -119,17 +119,34 @@ def synth_transcripts(
     )
 
 
+def _md5_pick_hash(tag: str, col):
+    """Portable pick hash: first 8 hex digits of md5('<tag>#<key>') as a
+    long — byte-identical in DuckDB (('0x'||substring(md5(...),1,8))::BIGINT),
+    so pipelines seeded by it are oracle-checkable end-to-end (xxhash64
+    is Spark-specific and would break the driver's DuckDB gate)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag + "#"), col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
 def transcripts_from_documents(documents: DataFrame, seed: int = 42) -> DataFrame:
     """Deterministically reshape the driver's documents.parquet into the
     transcripts schema: each document becomes a 3-turn conversation, with
     one money mention injected per document (derived from doc_id) so the
     extraction path has hits. Used by the flagship ``entry``.
+
+    Every derived value is md5-based (see ``_md5_pick_hash``) so the
+    whole downstream triple pipeline has a DuckDB oracle
+    (``triples_pipeline`` gate entry).
     """
     third = (F.length("text") / 3).cast("int")
     money = F.array(*[F.lit(s) for s in _MONEY])
     entity = F.array(*[F.lit(s) for s in ENTITY_TYPES])
-    h = F.xxhash64("doc_id", F.lit(seed))
-    mention = F.concat(_pick(entity, h), _pick(money, F.xxhash64("doc_id", F.lit(seed + 1))))
+    mention = F.concat(
+        _pick(entity, _md5_pick_hash(f"ent#{seed}", F.col("doc_id"))),
+        _pick(money, _md5_pick_hash(f"money#{seed + 1}", F.col("doc_id"))),
+    )
 
     base = documents.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
