@@ -73,6 +73,7 @@ def stream_dedup_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    compact_every: int | None = 10,
 ):
     """Incremental exact dedup — the streaming face of
     ``operators.dedup.dedup_exact`` for continuously-arriving corpora:
@@ -86,7 +87,19 @@ def stream_dedup_exact(
     join reads only ``batch_id < N`` — so a replayed micro-batch
     (foreachBatch is at-least-once) neither double-emits nor
     anti-joins against its own previous attempt. Exactly-once at rest.
+
+    Compaction bounds the state listing on long-lived streams: every
+    ``compact_every`` batches, the batch writes the FULL seen-hash
+    union (everything before it plus its own firsts) as its own
+    ``batch_id=N`` snapshot, then deletes directories older than the
+    PREVIOUS snapshot. Replay-safe by construction: a replayed batch M
+    only ever reads ``batch_id < M``, and deletions at batch N touch
+    only ids < N-compact_every — content wholly contained in the
+    N-compact_every snapshot, which is never deleted by that same
+    batch. Live directory count stays ≤ ~2·compact_every+1.
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1 (or None to disable)")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -108,12 +121,12 @@ def stream_dedup_exact(
         # a partial file on replay — partition pruning on batch_id < N
         # never touches its files), no broad except swallowing real IO
         # errors, one driver listing instead of per-batch exists() RPCs.
-        # Very long streams should periodically compact _seen into one
-        # snapshot to bound the listing.
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
         seen_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_seen")
-        if seen_root.getFileSystem(hconf).exists(seen_root):
+        fs = seen_root.getFileSystem(hconf)
+        seen = None
+        if fs.exists(seen_root):
             seen = (
                 spark.read.schema("_h string, batch_id long")
                 .option("basePath", f"{output_path}/_seen")
@@ -126,10 +139,64 @@ def stream_dedup_exact(
         firsts.drop("_h").write.mode("overwrite").parquet(
             f"{output_path}/batch_id={batch_id}"
         )
-        firsts.select("_h").write.mode("overwrite").parquet(
+        do_compact = (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+            and seen is not None
+        )
+        if do_compact:
+            # this batch's _seen dir becomes a full snapshot: union of
+            # everything strictly before it plus its own firsts (the two
+            # sets are disjoint — firsts was anti-joined — but residual
+            # pre-snapshot dirs can overlap the previous snapshot, hence
+            # the distinct)
+            state = seen.union(firsts.select("_h")).distinct()
+        else:
+            state = firsts.select("_h")
+        state.write.mode("overwrite").parquet(
             f"{output_path}/_seen/batch_id={batch_id}"
         )
         firsts.unpersist()
+        if do_compact:
+            # Mark this dir as a full snapshot (the overwrite above wiped
+            # any marker from a previous attempt — re-marking is the
+            # replay-idempotent last step), then drop dirs older than the
+            # PREVIOUS marked snapshot only: anything in [prev, N) is
+            # still needed if THIS batch replays (it reads batch_id < N),
+            # and everything below prev is contained in prev's snapshot.
+            # Keying deletion on actual markers (not arithmetic) stays
+            # safe when compact_every changes between restarts.
+            def _dir_bid(st):
+                name = st.getPath().getName()
+                if not name.startswith("batch_id="):
+                    return None
+                try:
+                    return int(name.split("=", 1)[1])
+                except ValueError:  # foreign dir — leave it alone
+                    return None
+
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{output_path}/_seen/batch_id={batch_id}/_SNAPSHOT"
+            )
+            fs.create(marker, True).close()
+            prev_snaps = [
+                bid
+                for st in fs.listStatus(seen_root)
+                if (bid := _dir_bid(st)) is not None
+                and bid < batch_id
+                and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{output_path}/_seen/batch_id={bid}/_SNAPSHOT"
+                    )
+                )
+            ]
+            if prev_snaps:
+                cutoff = max(prev_snaps)
+                for st in fs.listStatus(seen_root):
+                    bid = _dir_bid(st)
+                    if bid is not None and bid < cutoff:
+                        fs.delete(st.getPath(), True)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -135,3 +135,57 @@ def test_stream_dedup_exact_incremental(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "text").collect()
     }
     assert got2 == got
+
+
+def test_stream_dedup_state_compaction_bounds_dirs(spark, tmp_path):
+    """>compact_every batches: _seen directory count stays bounded (olds
+    are folded into marked snapshots) and the dedup output still equals
+    the batch operator on the concatenated input."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_dedup_exact,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "docs_in")
+    n_batches = 7
+    rows = []
+    for b in range(n_batches):
+        batch = [(b * 10 + i, f"text-{(b * 3 + i) % 9}") for i in range(3)]
+        rows.extend(batch)
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "uniq")
+    q = stream_dedup_exact(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        out, str(tmp_path / "ckpt"), compact_every=2,
+    )
+    q.awaitTermination(180)
+
+    got = {r.text for r in spark.read.parquet(out).collect()}
+    assert got == {f"text-{i}" for i in range(9)}
+    # one surviving row per distinct text, min-id winner per first batch
+    assert spark.read.parquet(out).count() == 9
+
+    seen_dirs = [
+        d for d in os.listdir(os.path.join(out, "_seen"))
+        if d.startswith("batch_id=")
+    ]
+    # without compaction there would be n_batches dirs; with
+    # compact_every=2 the listing stays <= ~2k+1
+    assert len(seen_dirs) < n_batches
+    assert len(seen_dirs) <= 5, seen_dirs
+
+    # restart on the same checkpoint: nothing new
+    q2 = stream_dedup_exact(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        out, str(tmp_path / "ckpt"), compact_every=2,
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 9
