@@ -64,6 +64,59 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
     )
 
 
+def _np_minhash_rows(n_seeds: int, id_col: str, text_col: str):
+    """Per-doc md5 minima computed INSIDE an Arrow batch — the same hash
+    family as ``minhash_signatures`` (min over md5-hex of token#seed),
+    byte-identical output, but nothing explodes through a shuffle."""
+
+    def doc_minima(text: str) -> list[str]:
+        from hashlib import md5
+
+        encs = [w.encode("utf-8") for w in set(text.split(" "))]
+        out = []
+        for s in range(n_seeds):
+            suffix = f"#{s}".encode("utf-8")
+            out.append(min(md5(w + suffix).hexdigest() for w in encs))
+        return out
+
+    return doc_minima
+
+
+def minhash_signatures_np(docs: DataFrame, n_seeds: int = 4,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Vectorized scale path for ``minhash_signatures``: identical
+    (doc_id, seed, minhash) rows, but signatures are computed
+    per-partition in a single ``mapInPandas`` — the Catalyst version
+    shuffles tokens × n_seeds rows (at the b×r budgets a 100 TB dedup
+    wants, 64-128 hashes, that multiplies shuffle volume accordingly);
+    here the shuffle input is n_seeds rows per document, full stop."""
+    import pandas as pd
+
+    doc_minima = _np_minhash_rows(n_seeds, id_col, text_col)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def sig_map(batches):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        for pdf in batches:
+            out_id, out_seed, out_min = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # Catalyst parity: explode(null) drops the doc
+                    continue
+                for s, mh in enumerate(doc_minima(text)):
+                    out_id.append(doc_id)
+                    out_seed.append(s)
+                    out_min.append(mh)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "seed": out_seed, "minhash": out_min}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        sig_map, f"doc_id {id_type}, seed int, minhash string"
+    )
+
+
 def _bucket_pairs(ids):
     """Ordered (doc_a < doc_b) pair structs from a sorted id array —
     JVM-side pair expansion inside an inverted-index bucket. Replaces a
@@ -83,7 +136,8 @@ def _bucket_pairs(ids):
 
 def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                       id_col: str = "doc_id", text_col: str = "text",
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      vectorized: bool = False) -> DataFrame:
     """-> (doc_a, doc_b) candidate near-dup pairs sharing at least one band.
 
     Standard b×r banding: signature of n_bands*rows_per_band minhashes,
@@ -105,21 +159,60 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
     docs (an exact-dup cluster: identical signatures) expands to
     O(n²) pairs that dedup_exact already answers in O(n); set it at
     scale so one degenerate cluster can't dominate the stage.
+
+    ``vectorized=True`` computes band strings per document inside ONE
+    ``mapInPandas`` (same md5 family — pair set is identical, parity
+    tested) instead of the token-explode + per-seed aggregation: the
+    scale path for large signature budgets (n_seeds ≥ 16), cutting the
+    plan from two shuffles to one and the shuffle input from
+    tokens × n_seeds rows to n_bands rows per document.
     """
-    sigs = minhash_signatures(docs, n_bands * rows_per_band, id_col, text_col)
-    buckets = (
-        sigs.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-                "|",
-            ).alias("band")
+    if vectorized:
+        import pandas as pd
+
+        doc_minima = _np_minhash_rows(n_bands * rows_per_band, id_col, text_col)
+        id_type = docs.schema[id_col].dataType.simpleString()
+
+        def band_map(batches):
+            from ..functions.worker import pin_worker_threads
+
+            pin_worker_threads()
+            for pdf in batches:
+                out_id, out_bid, out_band = [], [], []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    mins = doc_minima(text)
+                    for b in range(n_bands):
+                        out_id.append(doc_id)
+                        out_bid.append(b)
+                        out_band.append(
+                            "|".join(mins[b * rows_per_band:(b + 1) * rows_per_band])
+                        )
+                yield pd.DataFrame(
+                    {"doc_id": out_id, "band_id": out_bid, "band": out_band}
+                )
+
+        banded = docs.select(id_col, text_col).mapInPandas(
+            band_map, f"doc_id {id_type}, band_id int, band string"
         )
-        .groupBy("band_id", "band")
+    else:
+        sigs = minhash_signatures(docs, n_bands * rows_per_band, id_col, text_col)
+        banded = (
+            sigs.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                ).alias("band")
+            )
+        )
+    buckets = (
+        banded.groupBy("band_id", "band")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )

@@ -86,6 +86,43 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     )
 
 
+@register(
+    "minhash_vectorized_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, w
+      FROM words CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, seed // 2 AS band_id,
+             string_agg(minhash, '|' ORDER BY seed) AS band
+      FROM sigs GROUP BY doc_id, band_id
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b USING (band_id, band)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_vectorized_pairs_q(spark, sf_dir):
+    """The mapInPandas signature path (scale budget b=4×r=2) against the
+    same inverted-index oracle — proves the vectorized md5 family is
+    byte-identical to the Catalyst one end-to-end."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_bands=4, rows_per_band=2,
+        vectorized=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — SimHash fingerprint
 # ---------------------------------------------------------------------------

@@ -38,3 +38,25 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+def test_vectorized_minhash_matches_catalyst(spark, sf_dir):
+    """minhash_signatures_np and the vectorized band path must be
+    byte-identical to the Catalyst explode/aggregate formulation."""
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        minhash_signatures_np,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    cat = {tuple(r) for r in minhash_signatures(docs, n_seeds=8).collect()}
+    vec = {tuple(r) for r in minhash_signatures_np(docs, n_seeds=8).collect()}
+    assert cat == vec and len(cat) > 0
+
+    p_cat = {tuple(r) for r in
+             minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2).collect()}
+    p_vec = {tuple(r) for r in
+             minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2,
+                               vectorized=True).collect()}
+    assert p_cat == p_vec
