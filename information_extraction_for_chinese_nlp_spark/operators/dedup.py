@@ -259,6 +259,105 @@ def simhash(docs: DataFrame, n_bits: int = 16,
     )
 
 
+def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """-> (doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit words.
+
+    The 32-bit ``simhash`` uses one md5 hex digit's parity per bit; the
+    industry-standard 64-bit fingerprint needs two bits per digit, so
+    bit b here = bit (b // 32) of hex digit (b % 32) — bits 0-31 are
+    exactly the classic parity construction, bits 32-63 the digits'
+    second bit. Two words instead of one packed long keeps every
+    arithmetic step inside exact double/BIGINT range on BOTH engines
+    (packing bit 63 would overflow a signed long / lose double mantissa
+    precision), so the operator stays oracle-checkable.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    digit = (
+        F.instr(F.lit("0123456789abcdef"), F.substring("h", F.col("bit") % 32 + 1, 1))
+        - 1
+    )
+    bitval = F.when(F.col("bit") < 32, digit % 2).otherwise((digit / 2).cast("int") % 2)
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).withColumn("vote", F.when(bitval == 1, 1).otherwise(-1))
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when((F.col("v") > 0) & (F.col("bit") >= 32),
+                   F.pow(F.lit(2.0), F.col("bit") - 32)).otherwise(0.0)
+        ).cast("long").alias("sim_hi"),
+        F.sum(
+            F.when((F.col("v") > 0) & (F.col("bit") < 32),
+                   F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0)
+        ).cast("long").alias("sim_lo"),
+    )
+
+
+def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
+                            max_hamming: int = 7, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_bucket: int | None = None) -> DataFrame:
+    """64-bit variant of ``simhash_near_pairs``: pigeonhole banding over
+    the (sim_hi, sim_lo) fingerprint, recall 1.0 for Hamming distance ≤
+    n_bands-1, exact ``bit_count(xor)`` verify per word. Bands must not
+    straddle the word boundary (32 % (64/n_bands) == 0)."""
+    bpb = 64 // n_bands
+    if n_bands * bpb != 64:
+        raise ValueError("n_bands must divide 64")
+    if 32 % bpb != 0:
+        raise ValueError("bands must not straddle the 32-bit word boundary")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"n_bands-1={n_bands - 1}; raise n_bands or lower max_hamming"
+        )
+    fp = simhash_wide(docs, id_col, text_col)
+    mask = (1 << bpb) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(
+                F.col("sim_lo" if (b * bpb) < 32 else "sim_hi"), (b * bpb) % 32
+            ).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.posexplode(band_vals).alias("band_id", "band"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sim_hi", "sim_lo"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ham = (
+        F.bit_count(F.col("p.doc_a.sim_hi").bitwiseXOR(F.col("p.doc_b.sim_hi")))
+        + F.bit_count(F.col("p.doc_a.sim_lo").bitwiseXOR(F.col("p.doc_b.sim_lo")))
+    )
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
                        max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text",

@@ -195,6 +195,107 @@ def simhash_near_pairs_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dedup — 64-bit SimHash (two 32-bit words: packing bit 63 into one long
+# would overflow signed-64 / exceed double mantissa on either engine).
+# Runs on a planted fixture: the sf0.01 corpus has no near-dups at
+# 64-bit resolution (intra-cluster hamming ≤ 7 vs ≥ 20 for unrelated
+# docs on this fixture), so `documents` alone would make the gate
+# vacuous.
+# ---------------------------------------------------------------------------
+
+
+def _simhash64_docs() -> list[tuple[int, str]]:
+    docs = []
+    for c in range(3):
+        base = [f"tok{c}_{i}" for i in range(40)]
+        docs.append((c * 10, " ".join(base)))
+        v1 = list(base)
+        v1[5] = "changedA"
+        docs.append((c * 10 + 1, " ".join(v1)))
+        v2 = list(v1)
+        v2[17] = "changedB"
+        docs.append((c * 10 + 2, " ".join(v2)))
+    for i in range(4):
+        docs.append((100 + i, " ".join(f"uniq{i}_{j}" for j in range(30))))
+    return docs
+
+
+def _simhash64_values() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _simhash64_docs())
+    return f"(VALUES {rows}) AS d(doc_id, text)"
+
+
+_SIMHASH64_FP_CTES = f"""
+    d AS (SELECT * FROM {_simhash64_values()}),
+    words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM d
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             strpos('0123456789abcdef', substring(md5(w), (b.bit % 32) + 1, 1)) - 1
+               AS digit
+      FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (CASE WHEN bit < 32 THEN digit % 2
+                            ELSE (digit // 2) % 2 END) = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 AND bit >= 32 THEN pow(2, bit - 32) ELSE 0 END)
+                  AS BIGINT) AS sim_hi,
+             CAST(sum(CASE WHEN v > 0 AND bit < 32 THEN pow(2, bit) ELSE 0 END)
+                  AS BIGINT) AS sim_lo
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+def _simhash64_df(spark):
+    return spark.createDataFrame(_simhash64_docs(), "doc_id long, text string")
+
+
+@register(
+    "simhash64",
+    f"WITH {_SIMHASH64_FP_CTES} SELECT doc_id, sim_hi, sim_lo FROM fp",
+)
+def simhash64_q(spark, sf_dir):
+    from ..operators.dedup import simhash_wide
+
+    return simhash_wide(_simhash64_df(spark))
+
+
+@register(
+    "simhash64_near_pairs",
+    f"""
+    WITH {_SIMHASH64_FP_CTES},
+    banded AS (
+      SELECT doc_id, sim_hi, sim_lo, b.band_id,
+             CASE WHEN b.band_id * 8 < 32
+                  THEN (sim_lo >> (b.band_id * 8)) & 255
+                  ELSE (sim_hi >> ((b.band_id * 8) % 32)) & 255 END AS band
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS band_id) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sim_hi, b2.sim_hi))
+                + bit_count(xor(a.sim_lo, b2.sim_lo)) AS BIGINT) AS hamming
+      FROM banded a JOIN banded b2 USING (band_id, band)
+      WHERE a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+    """,
+)
+def simhash64_near_pairs_q(spark, sf_dir):
+    from ..operators.dedup import simhash_near_pairs_wide
+
+    return simhash_near_pairs_wide(_simhash64_df(spark), n_bands=8, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
 # Dedup — word-3-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -105,3 +105,53 @@ def test_winnowing_guarantee(spark):
     assert by_doc["a"] & by_doc["b"], "shared span must share a fingerprint"
     assert not (by_doc["a"] & by_doc["c"])
     assert not (by_doc["b"] & by_doc["c"])
+
+
+def test_simhash64_pigeonhole_recall_is_total(spark):
+    """64-bit variant: every pair at Hamming ≤ n_bands-1 = 7 over the
+    (hi, lo) fingerprint must be returned — brute-force equality on the
+    planted near-dup fixture; the bound itself is validated."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        simhash_near_pairs_wide,
+        simhash_wide,
+    )
+    from information_extraction_for_chinese_nlp_spark.plans.queries_dataprep import (
+        _simhash64_df,
+    )
+
+    docs = _simhash64_df(spark)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs_wide(docs, n_bands=8, max_hamming=7).collect()
+    }
+    fp = simhash_wide(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = (
+        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    assert want, "fixture should contain near-duplicate fingerprints"
+    assert got == want
+    # low 32 bits = the classic parity construction (backward compat)
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import simhash
+
+    lo32 = {(r.doc_id, r.simhash) for r in simhash(docs, n_bits=32).collect()}
+    wide_lo = {(r.doc_id, r.sim_lo) for r in fp.collect()}
+    assert lo32 == wide_lo
+    # past the pigeonhole bound the contract refuses instead of lying
+    with pytest.raises(ValueError):
+        simhash_near_pairs_wide(docs, n_bands=8, max_hamming=8)
