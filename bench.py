@@ -82,6 +82,12 @@ def build_queries(spark):
         "q2_dedup_minhash": lambda: minhash_lsh_pairs(
             docs, n_bands=2, rows_per_band=2, max_bucket=1000
         ).count(),
+        # the 100 TB signature budget (64 hashes, b=16×r=4) on the
+        # vectorized path: per-partition md5 minima, shuffle input =
+        # n_bands rows/doc instead of tokens×64 exploded rows
+        "q2c_minhash_vec_b16r4": lambda: minhash_lsh_pairs(
+            docs, n_bands=16, rows_per_band=4, max_bucket=1000, vectorized=True
+        ).count(),
         # max_df caps hot shingles — the setting the 100 TB run needs
         # (an uncapped hot shingle contributes O(df²) candidate pairs)
         "q3_ngram_jaccard": lambda: ngram_jaccard_pairs(

@@ -64,22 +64,54 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
     )
 
 
-def _np_minhash_rows(n_seeds: int, id_col: str, text_col: str):
+def _np_minhash_rows(n_seeds: int, id_col: str, text_col: str,
+                     memo_cap: int = 1 << 20):
     """Per-doc md5 minima computed INSIDE an Arrow batch — the same hash
     family as ``minhash_signatures`` (min over md5-hex of token#seed),
-    byte-identical output, but nothing explodes through a shuffle."""
+    byte-identical output, but nothing explodes through a shuffle.
 
-    def doc_minima(text: str) -> list[str]:
+    Returns a FACTORY: call it once per partition to get a doc->minima
+    function with its own token-digest memo. Corpus vocabulary is
+    Zipfian, so most (token, seed) hashes repeat across documents — the
+    memo collapses the md5 count from Σ|tokens|·n_seeds to
+    |vocab|·n_seeds per partition (capped at ``memo_cap`` tokens; past
+    the cap digests are still computed, just not stored). Minima compare
+    raw 16-byte digests (hex is byte-monotone, so min-of-digest ==
+    min-of-hexdigest) and only the winners pay the hex conversion."""
+
+    def make_doc_minima():
         from hashlib import md5
 
-        encs = [w.encode("utf-8") for w in set(text.split(" "))]
-        out = []
-        for s in range(n_seeds):
-            suffix = f"#{s}".encode("utf-8")
-            out.append(min(md5(w + suffix).hexdigest() for w in encs))
-        return out
+        suffixes = [f"#{s}".encode("utf-8") for s in range(n_seeds)]
+        memo: dict[str, list[bytes]] = {}
 
-    return doc_minima
+        def token_digests(w: str) -> list[bytes]:
+            ds = memo.get(w)
+            if ds is None:
+                base = md5(w.encode("utf-8"))
+                ds = []
+                for suf in suffixes:
+                    h = base.copy()
+                    h.update(suf)
+                    ds.append(h.digest())
+                if len(memo) < memo_cap:
+                    memo[w] = ds
+            return ds
+
+        def doc_minima(text: str) -> list[str]:
+            mins: list[bytes | None] = [None] * n_seeds
+            for w in set(text.split(" ")):
+                ds = token_digests(w)
+                for i in range(n_seeds):
+                    d = ds[i]
+                    m = mins[i]
+                    if m is None or d < m:
+                        mins[i] = d
+            return [m.hex() for m in mins]
+
+        return doc_minima
+
+    return make_doc_minima
 
 
 def minhash_signatures_np(docs: DataFrame, n_seeds: int = 4,
@@ -92,13 +124,14 @@ def minhash_signatures_np(docs: DataFrame, n_seeds: int = 4,
     here the shuffle input is n_seeds rows per document, full stop."""
     import pandas as pd
 
-    doc_minima = _np_minhash_rows(n_seeds, id_col, text_col)
+    make_doc_minima = _np_minhash_rows(n_seeds, id_col, text_col)
     id_type = docs.schema[id_col].dataType.simpleString()
 
     def sig_map(batches):
         from ..functions.worker import pin_worker_threads
 
         pin_worker_threads()
+        doc_minima = make_doc_minima()
         for pdf in batches:
             out_id, out_seed, out_min = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -170,13 +203,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
     if vectorized:
         import pandas as pd
 
-        doc_minima = _np_minhash_rows(n_bands * rows_per_band, id_col, text_col)
+        make_doc_minima = _np_minhash_rows(n_bands * rows_per_band, id_col,
+                                           text_col)
         id_type = docs.schema[id_col].dataType.simpleString()
 
         def band_map(batches):
             from ..functions.worker import pin_worker_threads
 
             pin_worker_threads()
+            doc_minima = make_doc_minima()
             for pdf in batches:
                 out_id, out_bid, out_band = [], [], []
                 for doc_id, text in zip(pdf[id_col], pdf[text_col]):

@@ -352,12 +352,14 @@ def _unit_sql(parts: str) -> str:
     )
 
 
-def _triples_sql() -> str:
+def _triples_ctes() -> str:
+    """The shared CTE body (documents -> scored spans); reused by the
+    graph_vertices oracle."""
     from .. import ENTITY_TYPES
     from ..sources.transcripts import _MONEY
 
     return f"""
-    WITH picked AS (
+    picked AS (
       SELECT doc_id, text,
              CAST(floor(length(text) / 3) AS INT) AS third,
              ({_sql_list(ENTITY_TYPES)})[{_md5_pick_sql('ent#42', len(ENTITY_TYPES))}] AS pred,
@@ -390,6 +392,12 @@ def _triples_sql() -> str:
            * (0.51 + 0.48 * {_unit_sql("pred || '|' || obj || '|e'")}) AS prob
       FROM spans
     )
+    """
+
+
+def _triples_sql() -> str:
+    return f"""
+    WITH {_triples_ctes()}
     SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS subj,
            pred, obj, prob,
            'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
@@ -411,7 +419,50 @@ def triples_pipeline(spark, sf_dir):
     )
 
 
-@register("graph_vertices")
+def _vertices_sql() -> str:
+    """graph_vertices oracle, valid at the gate's sf0.01 scale: every
+    document there fits ONE chunk (max scrubbed length < window), so
+    every emitted obj is one of the 10 FULL money surfaces — all
+    normalizable (golden values pinned independently by the
+    `money_normalize` gate), hence the similarity/CC layer is provably
+    idle and canon_key = pred#value. The golden join is INNER: if an
+    unexpected surface ever appears (e.g. a chunk-straddle prefix at a
+    larger SF), the row-count mismatch fails the gate loudly instead of
+    silently absorbing it."""
+    from ..sources.transcripts import _MONEY
+
+    golden = {raw: val for raw, val in _MONEY_GOLDEN}
+    rows = ", ".join(f"('{m}', '{golden[m]}')" for m in _MONEY)
+    return f"""
+    WITH {_triples_ctes()},
+    edges AS (
+      SELECT pred, obj FROM scored WHERE prob > 0.5
+    ),
+    golden AS (SELECT * FROM (VALUES {rows}) AS g(raw, value)),
+    keyed AS (
+      SELECT pred, obj, pred || '#' || g.value AS canon_key
+      FROM edges JOIN golden g ON g.raw = edges.obj
+    ),
+    counts AS (
+      SELECT canon_key, pred, obj, count(*) AS n
+      FROM keyed GROUP BY canon_key, pred, obj
+    ),
+    ranked AS (
+      SELECT canon_key, pred, obj,
+             row_number() OVER (PARTITION BY canon_key ORDER BY n DESC, obj DESC)
+               AS rk,
+             CAST(sum(n) OVER (PARTITION BY canon_key) AS BIGINT) AS n_mentions
+      FROM counts
+    )
+    SELECT md5(canon_key) AS entity_id,
+           obj AS canonical_text,
+           pred AS type,
+           n_mentions
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register("graph_vertices", _vertices_sql())
 def graph_vertices(spark, sf_dir):
     """Full KG tail: extraction edges -> canonical vertex table."""
     from ..plans.graph import build_graph

@@ -101,6 +101,46 @@ set. Exact results at BLAS speed; 10× the Catalyst expression baseline
 on the benchmark set.
 """))
 
+q = minhash_lsh_pairs(docs, n_bands=16, rows_per_band=4, vectorized=True,
+                      max_bucket=1000)
+sections.append(("minhash_lsh_pairs vectorized (b=16×r=4)", plan_of(q), """
+What to read: the signature stage is ONE MapInPandas over the scan —
+64 md5 minima per document computed in-batch, so the only Exchange
+moves n_bands rows per document (the Catalyst path shuffles
+tokens×n_seeds exploded rows; at a 100 TB signature budget that
+multiplies shuffle volume ~tokens×). Pair expansion stays JVM-side in
+the bucket aggregate, identical to the Catalyst formulation.
+"""))
+
+from information_extraction_for_chinese_nlp_spark.plans.graph import (
+    normalize_objects,
+    raw_match_pairs,
+)
+q = raw_match_pairs(normalize_objects(edges))
+sections.append(("graph raw_match_pairs (banded linker)", plan_of(q), """
+What to read: NO Join node anywhere — candidate pairs for
+non-normalizable surfaces come from (pred, band) MinHash buckets via
+one aggregation chain + JVM-side pair expansion, with the exact bigram
+Jaccard verifying inside the Generate. The previous pred-blocked
+self-join was O(n²) candidates per predicate — the last quadratic
+generator in the engine, now gone (plan-shape asserted in
+tests/test_graph.py).
+"""))
+
+from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+    ivf_assignments,
+    ivf_search,
+)
+_assigned, _cents = ivf_assignments(emb, n_cells=16)
+q = ivf_search(_assigned, _cents, emb.filter(F.col("vec_id") < 5), k=3, n_probe=4)
+sections.append(("ivf_search (numpy query-cell assignment)", plan_of(q), """
+What to read: the query side's cell assignment is a constant-size
+MapInPandas (centroid matrix in the closure) — the plan no longer
+grows with n_cells (the literal-expression variant embeds one struct
+per centroid and blows up compile/codegen at n_cells ≥ 4096). The
+corpus joins candidates only via BroadcastHashJoin on cell.
+"""))
+
 q = qs["winnow_fingerprints"](spark, SF)
 sections.append(("winnow_fingerprints (rolling-hash winnowing)", plan_of(q), """
 What to read: a LINEAR Project/Generate chain over the scan — no
