@@ -294,6 +294,119 @@ def simhash(docs: DataFrame, n_bits: int = 16,
     )
 
 
+def _np_simhash_words(n_bits: int, memo_cap: int = 1 << 20):
+    """Factory (one per partition) for doc -> packed fingerprint words.
+
+    Same bit family as the Catalyst ops: bit b of a token = bit (b//32)
+    of md5 hex digit (b%32); fingerprint bit = positive ±1 vote over
+    distinct tokens. Token bit-vectors are memoized (Zipfian vocab) and
+    votes accumulate in one numpy add per token, so the per-doc cost is
+    O(|tokens|) instead of the tokens×n_bits exploded shuffle rows of
+    the Catalyst formulation. Returns the fingerprint as a list of
+    32-bit words, low word first (1 word for n_bits ≤ 32, two for 64)."""
+    import numpy as np
+
+    n_words = (n_bits + 31) // 32
+    idx = np.arange(n_bits) % 32
+    shift = np.arange(n_bits) // 32
+    weights = np.array([1 << (b % 32) for b in range(n_bits)], dtype=np.int64)
+    word_of = np.arange(n_bits) // 32
+
+    def make_doc_words():
+        from hashlib import md5
+
+        memo: dict[str, "np.ndarray"] = {}
+
+        def token_votes(w: str):
+            v = memo.get(w)
+            if v is None:
+                digits = np.frombuffer(
+                    bytes.fromhex(md5(w.encode("utf-8")).hexdigest()), dtype=np.uint8
+                )
+                # hex digits in order: high nibble then low nibble per byte
+                d = np.empty(32, dtype=np.int64)
+                d[0::2] = digits >> 4
+                d[1::2] = digits & 15
+                v = (((d[idx] >> shift) & 1) * 2 - 1).astype(np.int64)
+                if len(memo) < memo_cap:
+                    memo[w] = v
+            return v
+
+        def doc_words(text: str) -> list[int]:
+            votes = np.zeros(n_bits, dtype=np.int64)
+            for w in set(text.split(" ")):
+                votes += token_votes(w)
+            bits = (votes > 0) * weights
+            return [int(bits[word_of == wd].sum()) for wd in range(n_words)]
+
+        return doc_words
+
+    return make_doc_words
+
+
+def simhash_np(docs: DataFrame, n_bits: int = 16, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Vectorized scale path for ``simhash`` (n_bits ≤ 32): identical
+    (doc_id, simhash) output, computed per-partition in one
+    mapInPandas — no tokens×n_bits explode through the shuffle."""
+    import pandas as pd
+
+    if n_bits > 32:
+        raise ValueError("use simhash_wide_np for n_bits > 32")
+    make_doc_words = _np_simhash_words(n_bits)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def fp_map(batches):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        doc_words = make_doc_words()
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                out_id.append(doc_id)
+                out_fp.append(doc_words(text)[0])
+            yield pd.DataFrame({"doc_id": out_id, "simhash": out_fp})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fp_map, f"doc_id {id_type}, simhash long"
+    )
+
+
+def simhash_wide_np(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Vectorized scale path for ``simhash_wide``: identical
+    (doc_id, sim_hi, sim_lo) output from one mapInPandas."""
+    import pandas as pd
+
+    make_doc_words = _np_simhash_words(64)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def fp_map(batches):
+        from ..functions.worker import pin_worker_threads
+
+        pin_worker_threads()
+        doc_words = make_doc_words()
+        for pdf in batches:
+            out_id, out_hi, out_lo = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                lo, hi = doc_words(text)
+                out_id.append(doc_id)
+                out_hi.append(hi)
+                out_lo.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "sim_hi": out_hi, "sim_lo": out_lo}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fp_map, f"doc_id {id_type}, sim_hi long, sim_lo long"
+    )
+
+
 def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """-> (doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit words.
@@ -337,11 +450,14 @@ def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
                             max_hamming: int = 7, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            vectorized: bool = False) -> DataFrame:
     """64-bit variant of ``simhash_near_pairs``: pigeonhole banding over
     the (sim_hi, sim_lo) fingerprint, recall 1.0 for Hamming distance ≤
     n_bands-1, exact ``bit_count(xor)`` verify per word. Bands must not
-    straddle the word boundary (32 % (64/n_bands) == 0)."""
+    straddle the word boundary (32 % (64/n_bands) == 0).
+    ``vectorized=True`` computes fingerprints via ``simhash_wide_np``
+    (identical output, no tokens×64 explode)."""
     bpb = 64 // n_bands
     if n_bands * bpb != 64:
         raise ValueError("n_bands must divide 64")
@@ -352,7 +468,7 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
             f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
             f"n_bands-1={n_bands - 1}; raise n_bands or lower max_hamming"
         )
-    fp = simhash_wide(docs, id_col, text_col)
+    fp = (simhash_wide_np if vectorized else simhash_wide)(docs, id_col, text_col)
     mask = (1 << bpb) - 1
     band_vals = F.array(
         *[

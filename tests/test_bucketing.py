@@ -60,3 +60,38 @@ def test_vectorized_minhash_matches_catalyst(spark, sf_dir):
              minhash_lsh_pairs(docs, n_bands=4, rows_per_band=2,
                                vectorized=True).collect()}
     assert p_cat == p_vec
+
+
+def test_vectorized_simhash_matches_catalyst(spark, sf_dir):
+    """simhash_np / simhash_wide_np must be byte-identical to the
+    Catalyst explode/vote formulations, and the vectorized near-pairs
+    path must return the same pair set."""
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs_wide,
+        simhash_np,
+        simhash_wide,
+        simhash_wide_np,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    for bits in (16, 32):
+        cat = {tuple(r) for r in simhash(docs, n_bits=bits).collect()}
+        vec = {tuple(r) for r in simhash_np(docs, n_bits=bits).collect()}
+        assert cat == vec and len(cat) > 0, bits
+
+    cat_w = {tuple(r) for r in simhash_wide(docs).collect()}
+    vec_w = {tuple(r) for r in simhash_wide_np(docs).collect()}
+    assert cat_w == vec_w
+
+    from information_extraction_for_chinese_nlp_spark.plans.queries_dataprep import (
+        _simhash64_df,
+    )
+
+    fixture = _simhash64_df(spark)
+    p_cat = {tuple(r) for r in
+             simhash_near_pairs_wide(fixture, n_bands=8, max_hamming=7).collect()}
+    p_vec = {tuple(r) for r in
+             simhash_near_pairs_wide(fixture, n_bands=8, max_hamming=7,
+                                     vectorized=True).collect()}
+    assert p_cat == p_vec and len(p_cat) > 0
