@@ -47,6 +47,7 @@ def build_queries(spark):
     )
     from information_extraction_for_chinese_nlp_spark.operators.dedup import (
         simhash_near_pairs,
+        simhash_near_pairs_wide,
     )
     from information_extraction_for_chinese_nlp_spark.operators.similarity import (
         ann_topk,
@@ -97,6 +98,11 @@ def build_queries(spark):
         # banded Hamming pairs (pigeonhole recall 1.0 at distance <= 3)
         "q4b_simhash_pairs": lambda: simhash_near_pairs(
             docs, max_hamming=3, max_bucket=1000
+        ).count(),
+        # 64-bit fingerprints on the vectorized path (memoized token
+        # bit-votes, no tokens×64 explode through the shuffle)
+        "q4c_simhash64_vec": lambda: simhash_near_pairs_wide(
+            docs, n_bands=8, max_hamming=7, max_bucket=1000, vectorized=True
         ).count(),
         "q5_bruteforce_topk": lambda: brute_force_topk(emb, queries, k=10).count(),
         # exact search, vectorized: per-partition numpy matmul + local

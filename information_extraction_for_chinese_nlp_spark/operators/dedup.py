@@ -65,7 +65,7 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
 
 
 def _np_minhash_rows(n_seeds: int, id_col: str, text_col: str,
-                     memo_cap: int = 1 << 20):
+                     memo_cap: int | None = None):
     """Per-doc md5 minima computed INSIDE an Arrow batch — the same hash
     family as ``minhash_signatures`` (min over md5-hex of token#seed),
     byte-identical output, but nothing explodes through a shuffle.
@@ -77,7 +77,13 @@ def _np_minhash_rows(n_seeds: int, id_col: str, text_col: str,
     |vocab|·n_seeds per partition (capped at ``memo_cap`` tokens; past
     the cap digests are still computed, just not stored). Minima compare
     raw 16-byte digests (hex is byte-monotone, so min-of-digest ==
-    min-of-hexdigest) and only the winners pay the hex conversion."""
+    min-of-hexdigest) and only the winners pay the hex conversion.
+
+    ``memo_cap`` defaults to a ~64 MB per-worker byte budget
+    (entries × n_seeds × 16-byte digests): the Zipf head fits easily,
+    tail tokens past the cap are computed but not stored."""
+    if memo_cap is None:
+        memo_cap = max((1 << 22) // max(n_seeds, 1), 1 << 14)
 
     def make_doc_minima():
         from hashlib import md5
@@ -294,7 +300,7 @@ def simhash(docs: DataFrame, n_bits: int = 16,
     )
 
 
-def _np_simhash_words(n_bits: int, memo_cap: int = 1 << 20):
+def _np_simhash_words(n_bits: int, memo_cap: int | None = None):
     """Factory (one per partition) for doc -> packed fingerprint words.
 
     Same bit family as the Catalyst ops: bit b of a token = bit (b//32)
@@ -303,8 +309,13 @@ def _np_simhash_words(n_bits: int, memo_cap: int = 1 << 20):
     votes accumulate in one numpy add per token, so the per-doc cost is
     O(|tokens|) instead of the tokens×n_bits exploded shuffle rows of
     the Catalyst formulation. Returns the fingerprint as a list of
-    32-bit words, low word first (1 word for n_bits ≤ 32, two for 64)."""
+    32-bit words, low word first (1 word for n_bits ≤ 32, two for 64).
+    ``memo_cap`` defaults to a ~32 MB per-worker byte budget
+    (entries × n_bits × 8-byte votes)."""
     import numpy as np
+
+    if memo_cap is None:
+        memo_cap = max((1 << 22) // max(n_bits, 1), 1 << 14)
 
     n_words = (n_bits + 31) // 32
     idx = np.arange(n_bits) % 32

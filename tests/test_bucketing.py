@@ -95,3 +95,38 @@ def test_vectorized_simhash_matches_catalyst(spark, sf_dir):
              simhash_near_pairs_wide(fixture, n_bands=8, max_hamming=7,
                                      vectorized=True).collect()}
     assert p_cat == p_vec and len(p_cat) > 0
+
+
+def test_vectorized_paths_parity_property(spark):
+    """Property: on adversarial texts (CJK, repeated/leading/trailing
+    spaces -> empty tokens, scrub targets, long runs) the vectorized
+    minhash/simhash paths equal the Catalyst formulations exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_np,
+        simhash_np,
+        simhash,
+    )
+
+    token = st.text(
+        alphabet=st.sampled_from("ab金額元\\n9,１　"), min_size=0, max_size=4
+    )
+    doc = st.lists(token, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        cat = {tuple(r) for r in minhash_signatures(docs, n_seeds=3).collect()}
+        vec = {tuple(r) for r in minhash_signatures_np(docs, n_seeds=3).collect()}
+        assert cat == vec
+        cs = {tuple(r) for r in simhash(docs, n_bits=16).collect()}
+        vs = {tuple(r) for r in simhash_np(docs, n_bits=16).collect()}
+        assert cs == vs
+
+    check()

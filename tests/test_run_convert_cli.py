@@ -74,3 +74,30 @@ def test_convert_cli_end_to_end(spark, tmp_path):
         "--hash-split",
     ])
     assert out2["total"] == 60
+
+
+def test_split_is_document_granular(spark, tmp_path):
+    """No document's records may straddle splits (the reference's
+    do_split partitions raw documents BEFORE convert_format; splitting
+    expanded records would leak identical source text across splits)."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import run_convert
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    for extra in ([], ["--hash-split"]):
+        save = str(tmp_path / ("out_doc" + ("_h" if extra else "")))
+        run_convert.main([
+            "--labelstudio-file", _export(tmp_path),
+            "--save-dir", save, "--seed", "7", *extra,
+        ])
+        seen = {}
+        for name in ("train", "dev", "test"):
+            part = os.path.join(save, name)
+            if not os.path.isdir(part):
+                continue
+            for r in spark.read.json(part).select("doc_id").collect():
+                assert seen.setdefault(r.doc_id, name) == name, (
+                    f"doc {r.doc_id} straddles {seen[r.doc_id]} and {name}"
+                )
