@@ -3,14 +3,17 @@
 All four families are expressed as shuffle-lean DataFrame plans:
 
 - exact: hash-groupBy on md5(text) — one shuffle, map-side combine.
-- MinHash + LSH: shingle -> per-seed min of a keyed hash -> band
-  signature -> bucket self-join. The pair join runs on band buckets,
-  never on raw documents, so candidate generation is output-bound.
-- SimHash: per-bit majority vote over token hashes, aggregated with a
-  single groupBy (bits unpacked via explode of a literal range).
-- n-gram Jaccard: explode shingles -> self-join on shingle -> pair
-  intersection counts vs per-doc set sizes (the standard scalable
-  formulation: |A∩B| from the join, |A|,|B| broadcast back).
+- MinHash + LSH: per-seed minima (Catalyst agg or vectorized
+  per-partition) -> band buckets -> JVM-side pair expansion inside each
+  bucket; candidate generation is output-bound, and there is NO
+  self-join anywhere (Spark re-executes the upstream pipeline for a
+  self-join's second alias — measured).
+- SimHash: per-bit majority vote over token hashes (Catalyst agg or
+  vectorized per-partition), 16/32-bit packed or 64-bit two-word,
+  pigeonhole-banded near-pairs with exact bit_count verify.
+- n-gram Jaccard: ONE aggregation chain — set sizes ride as a
+  projection through the shingle inverted index's bucket structs, so
+  |A∩B| and |A|,|B| come out of the same pair expansion.
 
 All hashes are md5-hex (engine-portable: identical in DuckDB, so every
 operator here is oracle-checkable).
@@ -598,33 +601,40 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     UNCAPPED shingle sets so reported jac stays a true lower bound of
     the real value.
     """
-    sh = docs.select(
+    # set sizes ride along as a PROJECTION (size of the distinct-shingle
+    # array) and through the bucket structs — no second aggregation over
+    # the exploded shingles and no post-hoc size joins: the whole
+    # operator is one linear aggregation chain.
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = base.select(
+        "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
+    )
     buckets = (
         sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_df is not None:
         buckets = buckets.filter(F.size("ids") <= max_df)
     inter = (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_a.n_sh").alias("n_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jac",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
+    out = inter.withColumn(
+        "jac",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            6,
+        ),
     )
     return out.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", "jac")
