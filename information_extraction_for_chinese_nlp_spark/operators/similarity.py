@@ -402,6 +402,31 @@ def ivf_topk(
     return ivf_search(assigned, centroids, queries, k, n_probe, id_col, vec_col)
 
 
+def save_ivf_index(io, assigned: DataFrame, centroids: list,
+                   name: str = "ivf") -> None:
+    """Persist a built IVF index through the TableIO facade (Iceberg or
+    parquet+manifest): assignments as `<name>_assignments`, the tiny
+    centroid model as `<name>_centroids` rows (cell, embedding). The
+    build-once/search-many split then spans JOBS, not just one session.
+    """
+    spark = assigned.sparkSession
+    io.write(assigned, f"{name}_assignments")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, embedding array<double>",
+    )
+    io.write(cent_df, f"{name}_centroids")
+
+
+def load_ivf_index(io, name: str = "ivf"):
+    """-> (assigned, centroids) ready for ``ivf_search``."""
+    assigned = io.read(f"{name}_assignments")
+    rows = io.read(f"{name}_centroids").collect()  # tiny by contract
+    centroids = [list(map(float, r["embedding"]))
+                 for r in sorted(rows, key=lambda r: r["cell"])]
+    return assigned, centroids
+
+
 def _probe_buckets(bucket_col, n_planes: int, max_hamming: int):
     """Array of bucket codes within Hamming distance ``max_hamming`` of
     the query's code (multiprobe LSH: instead of many hash tables, one

@@ -127,16 +127,20 @@ def raw_match_pairs_exact(normed: DataFrame, threshold: float = 0.6) -> DataFram
     )
 
 
-def build_graph(edges: DataFrame, link_threshold: float = 0.6):
+def build_graph(edges: DataFrame, link_threshold: float = 0.6,
+                link_max_bucket: int | None = None):
     """-> (vertices, canonical_edges).
 
     vertices: (entity_id, canonical_text, type, n_mentions)
     canonical_edges: (subj, pred, entity_id, obj, obj_norm, prob,
                       doc_id, start, end)
+
+    ``link_max_bucket`` caps degenerate linker buckets (thousands of
+    identical junk surfaces) — set it at scale like the dedup caps.
     """
     normed = normalize_objects(edges)
 
-    pairs = raw_match_pairs(normed, link_threshold)
+    pairs = raw_match_pairs(normed, link_threshold, max_bucket=link_max_bucket)
     comps = connected_components(pairs, src="src", dst="dst")
 
     keyed = normed.join(

@@ -154,6 +154,34 @@ def simhash_q(spark, sf_dir):
 
 
 @register(
+    "simhash_vectorized",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (strpos('0123456789abcdef', substring(md5(w), b.bit + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_vectorized_q(spark, sf_dir):
+    """The mapInPandas fingerprint path against the SAME oracle as the
+    Catalyst `simhash` — proves the vectorized bit-vote family is
+    byte-identical end-to-end."""
+    from ..operators.dedup import simhash_np
+
+    return simhash_np(load(spark, sf_dir, "documents"), n_bits=16)
+
+
+@register(
     "simhash_near_pairs",
     """
     WITH words AS (

@@ -172,3 +172,31 @@ def test_ivf_plan_constant_in_n_cells(spark, sf_dir):
     big_len, big_df = plan_len(cents_big)
     assert big_len < 2 * small_len, (small_len, big_len)
     assert big_df.count() >= 0  # executes without codegen blowup
+
+
+def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """save/load through TableIO: a reloaded index must answer queries
+    identically to the in-session one (build-once/search-many across
+    JOBS, not just one session)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from information_extraction_for_chinese_nlp_spark.sources.catalog import TableIO
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_assignments(emb, n_cells=8)
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    save_ivf_index(io, assigned, centroids, name="ivf8")
+    re_assigned, re_cents = load_ivf_index(io, name="ivf8")
+    assert re_cents == [[float(x) for x in c] for c in centroids]
+
+    live = {tuple(r) for r in
+            ivf_search(assigned, centroids, queries, k=3, n_probe=4).collect()}
+    reloaded = {tuple(r) for r in
+                ivf_search(re_assigned, re_cents, queries, k=3, n_probe=4).collect()}
+    assert live == reloaded and len(live) > 0
