@@ -48,7 +48,9 @@ def word_shingles(col, n: int = 3):
 
 def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_id, seed, minhash): per-seed min of md5(token#seed).
+    """-> (doc_id, seed, minhash): per-seed min of md5(token#seed)
+    (Broder '97 min-wise independent permutations; b×r banding per
+    Leskovec/Rajaraman/Ullman, MMDS ch.3).
 
     String-min over md5 hex is a valid min-wise hash family and is
     byte-identical across engines.
@@ -423,7 +425,9 @@ def simhash_wide_np(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """-> (doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit words.
+    """-> (doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit words
+    (Charikar, STOC'02 random-hyperplane sketch; 64-bit fingerprints per
+    Manku/Jain/Sarma, WWW'07).
 
     The 32-bit ``simhash`` uses one md5 hex digit's parity per bit; the
     industry-standard 64-bit fingerprint needs two bits per digit, so
@@ -467,7 +471,8 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
                             max_bucket: int | None = None,
                             vectorized: bool = False) -> DataFrame:
     """64-bit variant of ``simhash_near_pairs``: pigeonhole banding over
-    the (sim_hi, sim_lo) fingerprint, recall 1.0 for Hamming distance ≤
+    the (sim_hi, sim_lo) fingerprint (the block-permutation trick of
+    Manku/Jain/Sarma, WWW'07), recall 1.0 for Hamming distance ≤
     n_bands-1, exact ``bit_count(xor)`` verify per word. Bands must not
     straddle the word boundary (32 % (64/n_bands) == 0).
     ``vectorized=True`` computes fingerprints via ``simhash_wide_np``
