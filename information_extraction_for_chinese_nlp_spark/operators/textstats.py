@@ -126,3 +126,97 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     return hashed.select(
         "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
     )
+
+
+# PII patterns, ordered most-specific first (an email must redact as
+# EMAIL before its digit run could partially match PHONE). Kept
+# deliberately regex-simple: the point is the Catalyst-chain shape and
+# redaction accounting, not locale-complete PII coverage.
+PII_PATTERNS = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?[0-9][0-9 -]{7,14}[0-9]"),
+    ("IDNUM", r"\b[A-Z][0-9]{9}\b"),  # TW national-ID shape (verdict corpus)
+]
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """-> (doc_id, text, n_redactions): PII redacted with typed
+    placeholders — emails, phone-like digit runs, national-ID-shaped
+    tokens. Pure sequential ``regexp_replace`` chain (JVM-side,
+    codegen); n_redactions counts matched placeholders so a downstream
+    filter can drop PII-dense documents entirely. The pattern list is a
+    pluggable module constant, mirroring the reference's sequential
+    scrub-list design (run_infer.py:52-59)."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    redacted = docs.select(
+        F.col(id_col).alias("doc_id"), out.alias("text")
+    )
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit("<(EMAIL|PHONE|IDNUM)>"), F.lit(0)))
+    return redacted.withColumn("n_redactions", n.cast("long"))
+
+
+def repetition_features(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """-> (doc_id, dup_line_frac, top_bigram_frac, char_run_max):
+    Gopher-style repetition signals (Rae et al. '21 §A1.1) for
+    filtering degenerate/boilerplate documents:
+
+    - dup_line_frac: 1 − distinct/total over newline-split lines
+      (projection);
+    - top_bigram_frac: occurrences of the most frequent word bigram
+      over total bigrams — explode + two-level aggregate, LINEAR in
+      document length (a per-row nested transform/filter would be
+      quadratic per document and die on long boilerplate docs);
+    - char_run_max: longest single-character run (projection).
+
+    One shuffle for the bigram aggregate plus a per-doc join; the
+    projections stay codegen'd.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(0.0)
+
+    runs = F.regexp_extract_all(F.col(text_col), F.lit(r"(.)\1*"), F.lit(0))
+    char_run_max = F.when(
+        F.length(F.col(text_col)) > 0,
+        F.array_max(F.transform(runs, F.length)),
+    ).otherwise(0)
+
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        char_run_max.cast("long").alias("char_run_max"),
+    )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)),
+    )
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigrams).alias("bg"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_top"), F.sum("count").alias("_n"))
+        .select(
+            "doc_id",
+            F.round(F.col("_top") / F.col("_n").cast("double"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return proj.join(top, on="doc_id", how="left").select(
+        "doc_id",
+        "dup_line_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        "char_run_max",
+    )

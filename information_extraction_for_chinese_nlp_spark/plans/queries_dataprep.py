@@ -709,3 +709,120 @@ def winnow_fingerprints_q(spark, sf_dir):
     from ..operators.textstats import winnow_fingerprints
 
     return winnow_fingerprints(load(spark, sf_dir, "documents"), k=8, w=4)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + repetition filters (Gopher-style) — planted fixture: the
+# sf0.01 corpus contains no emails/phones/IDs, no newlines and no char
+# runs, so `documents` alone would make both gates vacuous.
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    (0, "contact me at alice@example.com or +886 912345678 thanks"),
+    (1, "id A123456789 filed\nsame line\nsame line\nsame line"),
+    (2, "aaaaaaaaaa bbbb normal text the end"),
+    (3, "no pii here just ordinary words"),
+    (4, "x@y.io x@y.io dup dup dup dup"),
+    (5, ""),
+]
+
+
+def _pii_values() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+    return f"(VALUES {rows}) AS d(doc_id, text)"
+
+
+def _pii_df(spark):
+    return spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+
+
+@register(
+    "scrub_pii",
+    f"""
+    WITH d AS (SELECT * FROM {_pii_values()}),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9 -]{{7,14}}[0-9]', '<PHONE>', 'g'),
+               '\\b[A-Z][0-9]{{9}}\\b', '<IDNUM>', 'g') AS text
+      FROM d
+    )
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '<(EMAIL|PHONE|IDNUM)>'))
+                AS BIGINT) AS n_redactions
+    FROM red
+    """,
+)
+def scrub_pii_q(spark, sf_dir):
+    from ..operators.textstats import scrub_pii
+
+    return scrub_pii(_pii_df(spark))
+
+
+@register(
+    "repetition_features",
+    f"""
+    WITH d AS (SELECT * FROM {_pii_values()}),
+    lines AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+    ),
+    proj AS (
+      SELECT doc_id,
+             round(CASE WHEN len(ls) > 0
+                   THEN 1.0 - len(list_distinct(ls)) / len(ls)::DOUBLE
+                   ELSE 0.0 END, 6) AS dup_line_frac
+      FROM lines
+    ),
+    runs AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '.') AS cl
+      FROM d
+    ),
+    runmax AS (
+      SELECT doc_id,
+             CASE WHEN len(cl) = 0 THEN 0
+                  ELSE list_max(list_transform(
+                    range(1, len(list_filter(range(1, len(cl) + 1),
+                          i -> i = 1 OR cl[i] != cl[i - 1])
+                          || [len(cl) + 1])),
+                    j -> (list_filter(range(1, len(cl) + 1),
+                          i -> i = 1 OR cl[i] != cl[i - 1])
+                          || [len(cl) + 1])[j + 1]
+                       - (list_filter(range(1, len(cl) + 1),
+                          i -> i = 1 OR cl[i] != cl[i - 1])
+                          || [len(cl) + 1])[j]))
+             END AS char_run_max
+      FROM runs
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, bg, count(*) AS n FROM bigrams GROUP BY doc_id, bg
+    ),
+    top AS (
+      SELECT doc_id, round(max(n) / sum(n)::DOUBLE, 6) AS top_bigram_frac
+      FROM counts GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.dup_line_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           CAST(r.char_run_max AS BIGINT) AS char_run_max
+    FROM proj p
+    JOIN runmax r USING (doc_id)
+    LEFT JOIN top t USING (doc_id)
+    """,
+)
+def repetition_features_q(spark, sf_dir):
+    from ..operators.textstats import repetition_features
+
+    return repetition_features(_pii_df(spark))
