@@ -1,8 +1,11 @@
 """Text analysis for training-data pipelines: token counting, quality
-scoring, language-ID heuristic, document fingerprinting.
+scoring, language-ID heuristic, document fingerprinting, PII redaction,
+and Gopher-style repetition filters.
 
 Everything is built-in Catalyst expressions (JVM-side, codegen) — no
-Python in the hot path.
+Python in the hot path. The only shuffle in the module is
+``repetition_features``' bigram aggregate (deliberately linear in
+document length; see its docstring).
 """
 
 from __future__ import annotations
