@@ -57,6 +57,7 @@ def build_queries(spark):
     )
     from information_extraction_for_chinese_nlp_spark.operators.textstats import (
         quality_features,
+        repetition_features,
     )
     from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
         extract_triples,
@@ -116,6 +117,9 @@ def build_queries(spark):
             emb, queries, k=10, n_cells=16, n_probe=4
         ).count(),
         "q6_quality": lambda: quality_features(docs).count(),
+        # Gopher-style repetition filters: the bigram aggregate is the
+        # module's one deliberate shuffle (linear in doc length)
+        "q6b_repetition": lambda: repetition_features(docs).count(),
         "q7_graph": lambda: _graph_count(spark, docs),
     }
 

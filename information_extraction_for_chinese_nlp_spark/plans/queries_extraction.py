@@ -286,6 +286,59 @@ def _cc_values() -> str:
     return f"(VALUES {rows}) AS e(src, dst)"
 
 
+# larger planted graph: 20 rings of 15 nodes (cycles) + md5-derived
+# chords inside each ring + a few ring-merging bridges — non-trivial
+# component structure, still cheap for the recursive-CTE oracle.
+def _cc_large_edges() -> list[tuple[str, str]]:
+    import hashlib
+
+    edges = []
+    for c in range(20):
+        base = c * 15
+        for j in range(15):
+            edges.append((f"n{base + j:03d}", f"n{base + (j + 1) % 15:03d}"))
+        for j in range(15):
+            h = int(hashlib.md5(f"chord#{c}#{j}".encode()).hexdigest()[:8], 16)
+            if h % 4 == 0:
+                edges.append(
+                    (f"n{base + j:03d}", f"n{base + (j + h % 13 + 1) % 15:03d}")
+                )
+    for c in range(0, 20, 4):  # bridge rings c and c+1 -> 15 components total
+        if c + 1 < 20:
+            edges.append((f"n{c * 15:03d}", f"n{(c + 1) * 15:03d}"))
+    return edges
+
+
+def _cc_large_values() -> str:
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in _cc_large_edges())
+    return f"(VALUES {rows}) AS e(src, dst)"
+
+
+@register(
+    "connected_components_large",
+    f"""
+    WITH RECURSIVE
+    sym AS (
+      SELECT src AS a, dst AS b FROM {_cc_large_values()}
+      UNION
+      SELECT dst, src FROM {_cc_large_values()}
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS r FROM sym
+      UNION
+      SELECT s.b AS node, reach.r
+      FROM reach JOIN sym s ON reach.node = s.a
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def connected_components_large_q(spark, sf_dir):
+    from ..operators.components import connected_components
+
+    edges = spark.createDataFrame(_cc_large_edges(), "src string, dst string")
+    return connected_components(edges)
+
+
 @register(
     "connected_components",
     f"""
