@@ -81,3 +81,74 @@ def span_f1(pred: DataFrame, gold: DataFrame,
             F.round(2 * p * r / (p + r), 6)
         ),
     )
+
+
+def threshold_sweep(
+    pred: DataFrame,
+    gold: DataFrame,
+    thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+    keys: Sequence[str] = ("doc_id", "prompt", "start", "end"),
+    prob_col: str = "probability",
+) -> DataFrame:
+    """Pick the inference threshold in ONE pass (the reference hardwires
+    limit=0.5, tools/convert_to_labelstudio.py:79-87; tuning it means
+    re-running eval per candidate — here the prediction set explodes
+    across the grid (narrow) and a single aggregation yields
+    per-threshold exact-match counts, so a 10-point sweep costs one scan
+    of predictions, not ten).
+
+    -> (threshold, num_correct, num_infer, num_label, precision_,
+        recall_, f1) with a row for EVERY grid point (zero-filled when
+    no prediction survives). Strict > threshold, matching M4's
+    `strategy_threshold`.
+    """
+    spark = pred.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    surviving = (
+        pred.select(*keys, F.col(prob_col).alias("_p"))
+        .withColumn(
+            "threshold", F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+        )
+        .filter(F.col("_p") > F.col("threshold"))
+    )
+    infer = surviving.groupBy("threshold").agg(F.count("*").alias("num_infer"))
+    correct = (
+        surviving.join(gold.select(*keys).distinct(), on=list(keys), how="inner")
+        .groupBy("threshold")
+        .agg(F.count("*").alias("num_correct"))
+    )
+    label = gold.select(*keys).distinct().agg(F.count("*").alias("num_label"))
+
+    out = (
+        grid.join(infer, on="threshold", how="left")
+        .join(correct, on="threshold", how="left")
+        .crossJoin(F.broadcast(label))
+        .na.fill({"num_correct": 0, "num_infer": 0})
+    )
+    precision = F.coalesce(
+        F.round(F.try_divide("num_correct", F.col("num_infer").cast("double")), 6),
+        F.lit(0.0),
+    )
+    recall = F.coalesce(
+        F.round(F.try_divide("num_correct", F.col("num_label").cast("double")), 6),
+        F.lit(0.0),
+    )
+    f1 = F.when(F.col("num_correct") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            2.0
+            * F.col("num_correct")
+            / (F.col("num_infer") + F.col("num_label")).cast("double"),
+            6,
+        )
+    )
+    return out.select(
+        "threshold",
+        "num_correct",
+        "num_infer",
+        "num_label",
+        precision.alias("precision_"),
+        recall.alias("recall_"),
+        f1.alias("f1"),
+    )

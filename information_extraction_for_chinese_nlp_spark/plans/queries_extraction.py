@@ -365,6 +365,80 @@ def connected_components_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Threshold sweep (one-pass inference-threshold selection over the grid).
+# ---------------------------------------------------------------------------
+
+_SWEEP_PRED = [
+    ("d1", "醫療費用", 4, 11, 0.92), ("d1", "醫療費用", 20, 27, 0.55),
+    ("d1", "精神慰撫金額", 30, 37, 0.35), ("d2", "醫療費用", 0, 6, 0.72),
+    ("d2", "薪資收入", 8, 14, 0.45), ("d3", "薪資收入", 2, 9, 0.81),
+    ("d3", "醫療費用", 12, 18, 0.31), ("d4", "精神慰撫金額", 5, 12, 0.65),
+]
+_SWEEP_GOLD = [
+    ("d1", "醫療費用", 4, 11), ("d1", "精神慰撫金額", 30, 37),
+    ("d2", "醫療費用", 0, 6), ("d3", "薪資收入", 2, 9),
+    ("d4", "精神慰撫金額", 5, 12), ("d4", "薪資收入", 20, 26),
+]
+_SWEEP_GRID = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.95)
+
+
+@register(
+    "threshold_sweep",
+    f"""
+    WITH pred AS (
+      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e}, {pr})" for d, p, s, e, pr in _SWEEP_PRED)})
+        AS p(doc_id, prompt, s, e, prob)
+    ),
+    gold AS (
+      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)})
+        AS g(doc_id, prompt, s, e)
+    ),
+    grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_GRID)}]) AS threshold),
+    surv AS (
+      SELECT grid.threshold, pred.* FROM pred JOIN grid ON pred.prob > grid.threshold
+    ),
+    infer AS (SELECT threshold, count(*) AS num_infer FROM surv GROUP BY 1),
+    corr AS (
+      SELECT threshold, count(*) AS num_correct
+      FROM surv JOIN gold USING (doc_id, prompt, s, e) GROUP BY 1
+    ),
+    label AS (SELECT count(*) AS num_label FROM gold)
+    SELECT g.threshold,
+           coalesce(c.num_correct, 0) AS num_correct,
+           coalesce(i.num_infer, 0) AS num_infer,
+           l.num_label,
+           coalesce(round(c.num_correct / i.num_infer::DOUBLE, 6), 0.0) AS precision_,
+           coalesce(round(c.num_correct / l.num_label::DOUBLE, 6), 0.0) AS recall_,
+           CASE WHEN coalesce(c.num_correct, 0) = 0 THEN 0.0
+                ELSE round(2.0 * c.num_correct
+                           / (i.num_infer + l.num_label)::DOUBLE, 6) END AS f1
+    FROM grid g
+    LEFT JOIN infer i USING (threshold)
+    LEFT JOIN corr c USING (threshold)
+    CROSS JOIN label l
+    """,
+)
+def threshold_sweep_q(spark, sf_dir):
+    from ..operators.evaluation import threshold_sweep
+
+    pred = spark.createDataFrame(
+        _SWEEP_PRED,
+        "doc_id string, prompt string, s int, e int, probability double",
+    )
+    gold = spark.createDataFrame(
+        _SWEEP_GOLD, "doc_id string, prompt string, s int, e int"
+    )
+    out = threshold_sweep(pred, gold, _SWEEP_GRID, keys=("doc_id", "prompt", "s", "e"))
+    return out.select(
+        "threshold",
+        F.col("num_correct").cast("long").alias("num_correct"),
+        F.col("num_infer").cast("long").alias("num_infer"),
+        F.col("num_label").cast("long").alias("num_label"),
+        "precision_", "recall_", "f1",
+    )
+
+
+# ---------------------------------------------------------------------------
 # The full stub pipeline, ORACLED end-to-end. The whole dataflow is
 # deterministic md5 arithmetic, so DuckDB reproduces it independently:
 #   documents -> 3-turn transcripts (mention = md5-picked entity+money
