@@ -216,3 +216,60 @@ def split_dataset(
         .when(F.col("_rn") <= cut2, "dev")
         .otherwise("test"),
     ).drop("_rn", "_n")
+
+
+def pack_documents(
+    docs: DataFrame,
+    cap_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1000,
+) -> DataFrame:
+    """Deterministic sequence packing for pretraining prep: assign each
+    document to a fixed-token-budget pack.
+
+    -> (doc_id, n_tokens, bucket, pack_id) with pack_id =
+    '<bucket>#<floor(prefix_tokens / cap_tokens)>'.
+
+    Scale shape: a global greedy first-fit needs a global sort +
+    stateful scan — a scale-killer. Here documents hash into
+    ``n_buckets`` independent streams (md5-portable, like split_hash)
+    and packing runs as a per-bucket window cumsum, so the only
+    shuffle is by bucket and each pack's overflow is bounded by one
+    document (the standard approximate quota-binning trade: packs are
+    ≥ cap − max_doc and ≤ cap + max_doc tokens). Deterministic on any
+    cluster size; token count is the whitespace count (swap in the
+    BPE-ish proxy from textstats for byte-budget packing).
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.textstats import token_count
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"pack#{seed}#"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % n_buckets
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        bucket.cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.withColumn(
+        "pack_id",
+        F.concat_ws(
+            "#", "bucket", F.floor(prefix / F.lit(float(cap_tokens))).cast("long")
+        ),
+    )

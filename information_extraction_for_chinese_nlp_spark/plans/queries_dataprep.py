@@ -712,6 +712,43 @@ def winnow_fingerprints_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing — fixed-token-budget bins via per-bucket window
+# cumsum (no global sort; overflow bounded by one document per pack).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             CAST(('0x' || substring(md5('pack#1000#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 8 AS INT) AS bucket
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bucket,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, bucket,
+           bucket || '#' || CAST(floor(p / 512.0) AS BIGINT) AS pack_id
+    FROM pref
+    """,
+)
+def pack_documents_q(spark, sf_dir):
+    from ..operators.convert import pack_documents
+
+    return pack_documents(
+        load(spark, sf_dir, "documents"), cap_tokens=512, n_buckets=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrub + repetition filters (Gopher-style) — planted fixture: the
 # sf0.01 corpus contains no emails/phones/IDs, no newlines and no char
 # runs, so `documents` alone would make both gates vacuous.

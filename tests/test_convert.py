@@ -101,3 +101,33 @@ def test_split_exact_counts_and_determinism(spark):
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
     s3 = split_dataset(df, (0.8, 0.1, 0.1), seed=7)
     assert sorted(map(tuple, s1.collect())) != sorted(map(tuple, s3.collect()))
+
+
+def test_pack_documents_budget_bounds(spark, sf_dir):
+    """Quota-binning invariant: within a bucket every non-final pack's
+    token total lies in (cap − max_doc, cap + max_doc), packs partition
+    the corpus, and the assignment is deterministic."""
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        pack_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = 256
+    out = pack_documents(docs, cap_tokens=cap, n_buckets=4).toPandas()
+    assert len(out) == docs.count()  # partition: every doc exactly once
+
+    for bucket, grp in out.groupby("bucket"):
+        max_doc = grp.n_tokens.max()
+        packs = grp.groupby("pack_id").n_tokens.sum()
+        # identify the final pack (largest pack index) and exempt it
+        final = max(packs.index, key=lambda p: int(p.split("#")[1]))
+        for pack_id, total in packs.items():
+            if pack_id == final:
+                continue
+            assert cap - max_doc < total < cap + max_doc, (
+                bucket, pack_id, total, max_doc)
+
+    out2 = pack_documents(docs, cap_tokens=cap, n_buckets=4).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, out2.values.tolist())
+    )
