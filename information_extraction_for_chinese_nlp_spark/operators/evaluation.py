@@ -106,24 +106,26 @@ def threshold_sweep(
     grid = spark.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
-    surviving = (
-        pred.select(*keys, F.col(prob_col).alias("_p"))
-        .withColumn(
-            "threshold", F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
-        )
-        .filter(F.col("_p") > F.col("threshold"))
+    # Join gold ONCE at 1× prediction volume and explode the grid AFTER:
+    # exploding first would multiply the key-shuffle of the gold join by
+    # |grid|. Post-explode rows feed a partial-aggregating count, so the
+    # grid fan-out never crosses a shuffle either.
+    matched = pred.select(*keys, F.col(prob_col).alias("_p")).join(
+        gold.select(*keys).distinct().withColumn("_g", F.lit(1)),
+        on=list(keys),
+        how="left",
     )
-    infer = surviving.groupBy("threshold").agg(F.count("*").alias("num_infer"))
-    correct = (
-        surviving.join(gold.select(*keys).distinct(), on=list(keys), how="inner")
-        .groupBy("threshold")
-        .agg(F.count("*").alias("num_correct"))
+    surviving = matched.withColumn(
+        "threshold", F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+    ).filter(F.col("_p") > F.col("threshold"))
+    counts = surviving.groupBy("threshold").agg(
+        F.count("*").alias("num_infer"),
+        F.count("_g").alias("num_correct"),  # count() skips NULLs
     )
     label = gold.select(*keys).distinct().agg(F.count("*").alias("num_label"))
 
     out = (
-        grid.join(infer, on="threshold", how="left")
-        .join(correct, on="threshold", how="left")
+        grid.join(counts, on="threshold", how="left")
         .crossJoin(F.broadcast(label))
         .na.fill({"num_correct": 0, "num_infer": 0})
     )
