@@ -273,3 +273,47 @@ def pack_documents(
             "#", "bucket", F.floor(prefix / F.lit(float(cap_tokens))).cast("long")
         ),
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    key_cols: Sequence[str] = ("doc_id",),
+    seed: int = 1000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep each
+    row with its stratum's fraction, decided by an md5 hash of the key
+    columns — NOT ``sampleBy`` (whose per-row randomness depends on
+    partition layout, so the sample changes with cluster size; this one
+    is bit-stable anywhere and DuckDB-oracle-checkable, like
+    ``split_hash``).
+
+    ``fractions``: stratum value -> keep fraction in [0, 1]; strata not
+    listed keep ``default_fraction``. Decision: row survives iff
+    md5('strat#<seed>#'||key) mod 1e6 < fraction·1e6 — so per-stratum
+    keep rates converge to the requested fractions with hash precision
+    1e-6.
+    """
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction {v} outside [0, 1]")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.lit(f"strat#{seed}"), *[F.col(c) for c in key_cols]
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000000
+    )
+    frac = F.lit(float(default_fraction))
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(float(f))).otherwise(frac)
+    return df.filter(h < (frac * 1000000.0).cast("long"))

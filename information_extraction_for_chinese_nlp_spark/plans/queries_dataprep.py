@@ -712,6 +712,33 @@ def winnow_fingerprints_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Stratified sampling — md5-deterministic per-stratum keep decisions
+# (sampleBy's per-row randomness depends on partition layout; this is
+# bit-stable at any cluster size and oracle-checkable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substring(md5('strat#1000#' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT % 1000000
+          < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.0
+                  ELSE 0.1 END) * 1000000.0 AS BIGINT)
+    """,
+)
+def sample_stratified_q(spark, sf_dir):
+    from ..operators.convert import sample_stratified
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_stratified(
+        docs, {"en": 0.25, "zh": 1.0}, strata_col="lang", default_fraction=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — fixed-token-budget bins via per-bucket window
 # cumsum (no global sort; overflow bounded by one document per pack).
 # ---------------------------------------------------------------------------

@@ -131,3 +131,32 @@ def test_pack_documents_budget_bounds(spark, sf_dir):
     assert sorted(map(tuple, out.values.tolist())) == sorted(
         map(tuple, out2.values.tolist())
     )
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    """Per-stratum keep rates track the requested fractions (hash
+    precision), unlisted strata get the default, and the decision is
+    independent of partitioning (repartition must not change the set)."""
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        sample_stratified,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    frac = {"en": 0.5, "zh": 1.0}
+    out = sample_stratified(docs, frac, strata_col="lang", default_fraction=0.0)
+    kept = out.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    totals = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    assert kept.get("zh", 0) == totals["zh"]           # fraction 1.0 keeps all
+    assert set(kept.index) <= {"en", "zh"}             # default 0.0 drops rest
+    rate_en = kept.get("en", 0) / totals["en"]
+    assert 0.3 < rate_en < 0.7, rate_en                # ~0.5 at n≈200
+
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         sample_stratified(docs.repartition(17), frac, strata_col="lang",
+                           default_fraction=0.0).collect()}
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_stratified(docs, {"en": 1.5})
