@@ -66,6 +66,16 @@ exact-count variant, whose global row_number funnels every row through
 one task (kept only for small curated sets).
 """))
 
+from information_extraction_for_chinese_nlp_spark.operators.convert import pack_documents
+q = pack_documents(docs, cap_tokens=512, n_buckets=8)
+sections.append(("pack_documents (quota-bin sequence packing)", plan_of(q), """
+What to read: ONE Exchange (hash by bucket) feeding per-bucket Window
+cumsums — a global greedy first-fit would need a total order + stateful
+scan (single-reducer at 10^9 docs). Pack overflow is bounded by one
+document; the md5 bucket hash makes assignment identical at any
+cluster size.
+"""))
+
 from information_extraction_for_chinese_nlp_spark.operators.dedup import minhash_lsh_pairs
 q = minhash_lsh_pairs(docs, n_bands=2, rows_per_band=2)
 sections.append(("minhash_lsh_pairs (b×r banding)", plan_of(q), """
