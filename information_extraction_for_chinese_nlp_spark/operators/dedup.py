@@ -33,6 +33,40 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_pipeline(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_bucket: int | None = 10_000,
+                   vectorized: bool = False) -> DataFrame:
+    """The standard 100 TB dedup recipe as ONE composed plan:
+    exact-keep -> MinHash-LSH near-dup pairs -> connected components ->
+    LEFT ANTI keep-list. Returns the surviving rows of ``docs``
+    (all original columns).
+
+    Stage order is the scale argument: ``dedup_exact`` first means
+    identical texts never reach the banding stage, so the O(n²)
+    identical-signature bucket (the degenerate cluster ``max_bucket``
+    guards against) collapses to a single canonical doc BEFORE pair
+    expansion. Near-dup clusters are then canonicalized to their min
+    id via min-label propagation and every non-canonical member is
+    dropped with a LEFT ANTI join — no collect, no self-join.
+    """
+    from .components import connected_components
+
+    exact_keep = dedup_exact(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    canonical = docs.join(exact_keep, on=id_col, how="left_semi")
+    pairs = minhash_lsh_pairs(
+        canonical, n_bands, rows_per_band, id_col, text_col,
+        max_bucket=max_bucket, vectorized=vectorized,
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return canonical.join(losers, on=id_col, how="left_anti")
+
+
 def tokens(col):
     return F.split(col, " ")
 
@@ -161,6 +195,35 @@ def minhash_signatures_np(docs: DataFrame, n_seeds: int = 4,
     )
 
 
+def _cap_buckets(buckets: DataFrame, cap: int | None, observation) -> DataFrame:
+    """Drop inverted-index buckets larger than ``cap`` (None = explicit
+    opt-out, documented at each caller). When a ``pyspark.sql.Observation``
+    is passed, the pre-filter bucket stats are observed so dropped work is
+    COUNTED, never silent: after the first action on the result,
+    ``observation.get`` carries ``dropped_buckets``, ``dropped_ids``
+    (ids inside dropped buckets — each would have expanded O(size²)
+    pairs) and ``max_bucket_size``."""
+    if observation is not None:
+        over = (
+            F.lit(False) if cap is None else (F.size("ids") > F.lit(cap))
+        )
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(over, F.size("ids")).otherwise(0)), F.lit(0)
+            ).cast("long").alias("dropped_ids"),
+            F.coalesce(F.max(F.size("ids")), F.lit(0)).cast("long").alias(
+                "max_bucket_size"
+            ),
+        )
+    if cap is None:
+        return buckets
+    return buckets.filter(F.size("ids") <= cap)
+
+
 def _bucket_pairs(ids):
     """Ordered (doc_a < doc_b) pair structs from a sorted id array —
     JVM-side pair expansion inside an inverted-index bucket. Replaces a
@@ -180,8 +243,9 @@ def _bucket_pairs(ids):
 
 def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                       id_col: str = "doc_id", text_col: str = "text",
-                      max_bucket: int | None = None,
-                      vectorized: bool = False) -> DataFrame:
+                      max_bucket: int | None = 10_000,
+                      vectorized: bool = False,
+                      observation=None) -> DataFrame:
     """-> (doc_a, doc_b) candidate near-dup pairs sharing at least one band.
 
     Standard b×r banding: signature of n_bands*rows_per_band minhashes,
@@ -201,8 +265,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
 
     ``max_bucket`` drops buckets larger than the cap — a bucket of n
     docs (an exact-dup cluster: identical signatures) expands to
-    O(n²) pairs that dedup_exact already answers in O(n); set it at
-    scale so one degenerate cluster can't dominate the stage.
+    O(n²) pairs that dedup_exact already answers in O(n). The cap
+    defaults ON (10k — far above any honest near-dup cluster after an
+    exact pre-pass, tiny next to the multi-million-row exact clusters a
+    100 TB crawl corpus carries); pass ``max_bucket=None`` to opt out
+    explicitly. Dropped buckets are never silent: pass a
+    ``pyspark.sql.Observation`` as ``observation`` to get
+    ``dropped_buckets`` / ``dropped_ids`` / ``max_bucket_size`` after
+    the first action. Run ``dedup_pipeline`` (exact pre-pass first)
+    rather than raising the cap when exact dups are the cause.
 
     ``vectorized=True`` computes band strings per document inside ONE
     ``mapInPandas`` (same md5 family — pair set is identical, parity
@@ -262,8 +333,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    buckets = _cap_buckets(buckets, max_bucket, observation)
     return (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -468,15 +538,18 @@ def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
                             max_hamming: int = 7, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_bucket: int | None = None,
-                            vectorized: bool = False) -> DataFrame:
+                            max_bucket: int | None = 10_000,
+                            vectorized: bool = False,
+                            observation=None) -> DataFrame:
     """64-bit variant of ``simhash_near_pairs``: pigeonhole banding over
     the (sim_hi, sim_lo) fingerprint (the block-permutation trick of
     Manku/Jain/Sarma, WWW'07), recall 1.0 for Hamming distance ≤
     n_bands-1, exact ``bit_count(xor)`` verify per word. Bands must not
     straddle the word boundary (32 % (64/n_bands) == 0).
     ``vectorized=True`` computes fingerprints via ``simhash_wide_np``
-    (identical output, no tokens×64 explode)."""
+    (identical output, no tokens×64 explode). ``max_bucket`` defaults ON
+    (identical-band clusters expand O(n²); ``observation`` counts drops
+    — see ``minhash_lsh_pairs``)."""
     bpb = 64 // n_bands
     if n_bands * bpb != 64:
         raise ValueError("n_bands must divide 64")
@@ -510,8 +583,7 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
         )
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    buckets = _cap_buckets(buckets, max_bucket, observation)
     ham = (
         F.bit_count(F.col("p.doc_a.sim_hi").bitwiseXOR(F.col("p.doc_b.sim_hi")))
         + F.bit_count(F.col("p.doc_a.sim_lo").bitwiseXOR(F.col("p.doc_b.sim_lo")))
@@ -531,7 +603,8 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
 def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
                        max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = 10_000,
+                       observation=None) -> DataFrame:
     """-> (doc_a, doc_b, hamming): SimHash pairs with fingerprint
     Hamming distance ≤ max_hamming.
 
@@ -542,7 +615,8 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
     candidates then verify the true distance with bit_count(xor).
     Same single-pass bucket expansion as minhash_lsh_pairs (fingerprint
     computed once, no self-join); ``max_bucket`` caps degenerate
-    identical-fingerprint clusters at scale.
+    identical-fingerprint clusters — default ON, ``None`` to opt out,
+    drops counted via ``observation`` (see ``minhash_lsh_pairs``).
     """
     bpb = n_bits // n_bands
     if n_bands * bpb != n_bits:
@@ -571,8 +645,7 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    buckets = _cap_buckets(buckets, max_bucket, observation)
     pairs = (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select(
@@ -591,7 +664,8 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 10_000,
+                        observation=None) -> DataFrame:
     """-> (doc_a, doc_b, jac): word-n-gram Jaccard ≥ threshold.
 
     Scalable formulation: pairs come from the shingle inverted index
@@ -600,8 +674,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     ``max_df`` caps hot shingles — a shingle appearing in more than
     max_df documents is dropped from the index before pair expansion
     (it contributes O(df²) candidate pairs but almost no Jaccard
-    discrimination, and it bounds the per-bucket id array). Set it at
-    scale; the capped Jaccard is then an under-estimate, so it can only
+    discrimination, and it bounds the per-bucket id array). Default ON
+    (``None`` = explicit opt-out; drops counted via ``observation`` —
+    see ``minhash_lsh_pairs``); the capped Jaccard is an under-estimate, so it can only
     lose borderline pairs, never invent them. Sizes are computed on the
     UNCAPPED shingle sets so reported jac stays a true lower bound of
     the real value.
@@ -622,8 +697,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_df is not None:
-        buckets = buckets.filter(F.size("ids") <= max_df)
+    buckets = _cap_buckets(buckets, max_df, observation)
     inter = (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .groupBy(

@@ -192,7 +192,8 @@ def lsh_near_dup_pairs(
     max_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
+    observation=None,
 ) -> DataFrame:
     """-> (vec_a, vec_b, sim): embedding-cosine near-dup pairs on an
     UNLABELED corpus — the scale pattern `embedding_near_dup`'s
@@ -202,9 +203,11 @@ def lsh_near_dup_pairs(
     within 2·max_hamming bits — within max_hamming they share a middle
     code with certainty), then the exact cosine verifies. Candidate
     volume is bucket-bound, never all-pairs; ``max_bucket`` caps
-    degenerate identical-fingerprint clusters like the dedup operators.
+    degenerate identical-fingerprint clusters like the dedup operators —
+    default ON, ``None`` = explicit opt-out, drops counted via
+    ``observation`` (see ``dedup.minhash_lsh_pairs``).
     """
-    from ..operators.dedup import _bucket_pairs
+    from ..operators.dedup import _bucket_pairs, _cap_buckets
 
     b = hyperplane_lsh_buckets(vectors, n_planes, id_col=id_col, vec_col=vec_col)
     probes = b.select(
@@ -216,8 +219,7 @@ def lsh_near_dup_pairs(
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    buckets = _cap_buckets(buckets, max_bucket, observation)
     cand = (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))

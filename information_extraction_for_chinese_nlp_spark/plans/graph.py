@@ -46,7 +46,8 @@ def raw_match_pairs(
     threshold: float = 0.6,
     n_bands: int = 8,
     rows_per_band: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
+    observation=None,
 ) -> DataFrame:
     """Similarity pairs among non-normalizable surfaces — MinHash-LSH
     banded candidate generation, exact-Jaccard verified.
@@ -67,9 +68,11 @@ def raw_match_pairs(
     1-(1-s^r)^b (defaults b=8, r=1: ≥0.9993 at s=0.6).
 
     ``max_bucket`` caps degenerate buckets (e.g. thousands of identical
-    junk surfaces) exactly like the dedup operators.
+    junk surfaces) exactly like the dedup operators — default ON,
+    ``None`` = explicit opt-out, drops counted via ``observation``
+    (see ``dedup.minhash_lsh_pairs``).
     """
-    from ..operators.dedup import _bucket_pairs
+    from ..operators.dedup import _bucket_pairs, _cap_buckets
 
     raw = _distinct_raw_surfaces(normed).filter(F.size("grams") > 0)
 
@@ -100,8 +103,7 @@ def raw_match_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("entity_key", "grams"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    buckets = _cap_buckets(buckets, max_bucket, observation)
     cand = buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p")).select(
         F.col("p.doc_a.entity_key").alias("src"),
         F.col("p.doc_b.entity_key").alias("dst"),
@@ -128,7 +130,7 @@ def raw_match_pairs_exact(normed: DataFrame, threshold: float = 0.6) -> DataFram
 
 
 def build_graph(edges: DataFrame, link_threshold: float = 0.6,
-                link_max_bucket: int | None = None):
+                link_max_bucket: int | None = 10_000):
     """-> (vertices, canonical_edges).
 
     vertices: (entity_id, canonical_text, type, n_mentions)
@@ -136,7 +138,8 @@ def build_graph(edges: DataFrame, link_threshold: float = 0.6,
                       doc_id, start, end)
 
     ``link_max_bucket`` caps degenerate linker buckets (thousands of
-    identical junk surfaces) — set it at scale like the dedup caps.
+    identical junk surfaces) — default ON like the dedup caps,
+    ``None`` = explicit opt-out.
     """
     normed = normalize_objects(edges)
 

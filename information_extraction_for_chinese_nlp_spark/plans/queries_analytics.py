@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import load, register
+from .registry import load, register, register_extra
 
 # ---------------------------------------------------------------------------
 # Sessionization: event-time session windows by 30-min inactivity gap —
@@ -98,7 +98,7 @@ def pricing_summary(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "top_customers",
     """
     WITH rev AS (
@@ -166,7 +166,7 @@ def region_revenue(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "dedup_keep",
     """
     SELECT d.doc_id, d.lang, d.source

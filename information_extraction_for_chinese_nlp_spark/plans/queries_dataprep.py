@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, register, register_extra
 
 # ---------------------------------------------------------------------------
 # Dedup — exact
@@ -86,7 +86,7 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "minhash_vectorized_pairs",
     """
     WITH words AS (
@@ -124,6 +124,84 @@ def minhash_vectorized_pairs_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dedup — the full composed recipe: exact-keep -> MinHash-LSH pairs ->
+# connected components -> LEFT ANTI keep-list (operators/dedup.py
+# dedup_pipeline). Planted exact clones (doc_id+1000000, same text) make
+# the exact pre-pass non-vacuous at sf0.01 (the corpus itself has no
+# exact dups there); the doc_id%5 subset keeps the oracle's recursive
+# CC tractable at the b=2×r=2 banding density.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_pipeline",
+    """
+    WITH RECURSIVE
+    docs_plus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 50 = 0
+    ),
+    exact AS (SELECT min(doc_id) AS keep_id FROM docs_plus GROUP BY md5(text)),
+    canon AS (
+      SELECT d.doc_id, d.text FROM docs_plus d
+      JOIN exact e ON d.doc_id = e.keep_id
+    ),
+    words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM canon
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, w
+      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, seed // 2 AS band_id,
+             string_agg(minhash, '|' ORDER BY seed) AS band
+      FROM sigs GROUP BY doc_id, band_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b USING (band_id, band)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS r FROM sym
+      UNION
+      SELECT s.b AS node, reach.r FROM reach JOIN sym s ON reach.node = s.a
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT c.doc_id FROM canon c
+    LEFT JOIN losers l ON c.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """,
+)
+def dedup_pipeline_q(spark, sf_dir):
+    from ..operators.dedup import dedup_pipeline
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    clones = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    out = dedup_pipeline(docs.unionByName(clones), n_bands=2, rows_per_band=2)
+    return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Dedup — SimHash fingerprint
 # ---------------------------------------------------------------------------
 
@@ -153,7 +231,7 @@ def simhash_q(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), n_bits=16)
 
 
-@register(
+@register_extra(
     "simhash_vectorized",
     """
     WITH words AS (
@@ -286,7 +364,7 @@ def _simhash64_df(spark):
     return spark.createDataFrame(_simhash64_docs(), "doc_id long, text string")
 
 
-@register(
+@register_extra(
     "simhash64",
     f"WITH {_SIMHASH64_FP_CTES} SELECT doc_id, sim_hi, sim_lo FROM fp",
 )
@@ -400,7 +478,7 @@ def embedding_topk_q(spark, sf_dir):
     return out.select("qid", "nid", "sim", F.col("rank").cast("long").alias("rank"))
 
 
-@register("matmul_topk", _EXACT_TOPK_SQL)
+@register_extra("matmul_topk", _EXACT_TOPK_SQL)
 def matmul_topk_q(spark, sf_dir):
     """Vectorized exact search — must agree with the SAME oracle as the
     Catalyst brute-force baseline (identical results by construction)."""
@@ -488,7 +566,7 @@ def _clone_queries(emb, scale: float | None):
     )
 
 
-@register(
+@register_extra(
     "embedding_near_dup_lsh",
     """
     SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0 AS sim
@@ -667,7 +745,7 @@ def lang_id_q(spark, sf_dir):
     return out.select("doc_id", "lang_pred", F.col("marker_hits").cast("long").alias("marker_hits"))
 
 
-@register(
+@register_extra(
     "fingerprint",
     r"""
     SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, register, register_extra
 
 # ---------------------------------------------------------------------------
 # F3 — regex mention extraction over documents (term inverted counts).
@@ -339,7 +339,7 @@ def connected_components_large_q(spark, sf_dir):
     return connected_components(edges)
 
 
-@register(
+@register_extra(
     "connected_components",
     f"""
     WITH RECURSIVE
@@ -373,11 +373,15 @@ _SWEEP_PRED = [
     ("d1", "精神慰撫金額", 30, 37, 0.35), ("d2", "醫療費用", 0, 6, 0.72),
     ("d2", "薪資收入", 8, 14, 0.45), ("d3", "薪資收入", 2, 9, 0.81),
     ("d3", "醫療費用", 12, 18, 0.31), ("d4", "精神慰撫金額", 5, 12, 0.65),
+    # pred-only class: exercises the full-join leg of the per-class eval
+    ("d2", "過失比例", 1, 5, 0.9),
 ]
 _SWEEP_GOLD = [
     ("d1", "醫療費用", 4, 11), ("d1", "精神慰撫金額", 30, 37),
     ("d2", "醫療費用", 0, 6), ("d3", "薪資收入", 2, 9),
     ("d4", "精神慰撫金額", 5, 12), ("d4", "薪資收入", 20, 26),
+    # gold-only class: a class with zero predictions must report a row
+    ("d5", "車損修復費用", 3, 9),
 ]
 _SWEEP_GRID = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.95)
 
@@ -431,6 +435,76 @@ def threshold_sweep_q(spark, sf_dir):
     out = threshold_sweep(pred, gold, _SWEEP_GRID, keys=("doc_id", "prompt", "s", "e"))
     return out.select(
         "threshold",
+        F.col("num_correct").cast("long").alias("num_correct"),
+        F.col("num_infer").cast("long").alias("num_infer"),
+        F.col("num_label").cast("long").alias("num_label"),
+        "precision_", "recall_", "f1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-class (per-prompt) P/R/F1: the metric the reference's README
+# table reports per entity type (README.md:22-28, run_eval.py grouped by
+# prompt). Grouped span_f1 over the sweep fixtures, predictions
+# thresholded at the strict > 0.5 the reference hardwires; pred-only and
+# gold-only classes pin the full-outer-join legs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_eval_by_class",
+    f"""
+    WITH pred AS (
+      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e}, {pr})" for d, p, s, e, pr in _SWEEP_PRED)})
+        AS p(doc_id, prompt, s, e, prob)
+      WHERE prob > 0.5
+    ),
+    gold AS (
+      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)})
+        AS g(doc_id, prompt, s, e)
+    ),
+    correct AS (
+      SELECT p.prompt, count(*) AS num_correct
+      FROM pred p JOIN gold g USING (doc_id, prompt, s, e)
+      GROUP BY p.prompt
+    ),
+    infer AS (SELECT prompt, count(*) AS num_infer FROM pred GROUP BY prompt),
+    label AS (SELECT prompt, count(*) AS num_label FROM gold GROUP BY prompt)
+    SELECT prompt,
+           coalesce(c.num_correct, 0) AS num_correct,
+           coalesce(i.num_infer, 0) AS num_infer,
+           coalesce(l.num_label, 0) AS num_label,
+           CASE WHEN coalesce(i.num_infer, 0) = 0 THEN 0.0
+                ELSE round(coalesce(c.num_correct, 0) / CAST(i.num_infer AS DOUBLE), 6)
+           END AS precision_,
+           CASE WHEN coalesce(l.num_label, 0) = 0 THEN 0.0
+                ELSE round(coalesce(c.num_correct, 0) / CAST(l.num_label AS DOUBLE), 6)
+           END AS recall_,
+           CASE WHEN coalesce(c.num_correct, 0) = 0 THEN 0.0
+                ELSE round(2 * (c.num_correct / CAST(i.num_infer AS DOUBLE))
+                             * (c.num_correct / CAST(l.num_label AS DOUBLE))
+                           / ((c.num_correct / CAST(i.num_infer AS DOUBLE))
+                              + (c.num_correct / CAST(l.num_label AS DOUBLE))), 6)
+           END AS f1
+    FROM infer i
+    FULL OUTER JOIN label l USING (prompt)
+    LEFT JOIN correct c USING (prompt)
+    """,
+)
+def span_eval_by_class_q(spark, sf_dir):
+    from ..operators.evaluation import span_f1
+
+    pred = spark.createDataFrame(
+        _SWEEP_PRED,
+        "doc_id string, prompt string, s int, e int, probability double",
+    ).filter(F.col("probability") > 0.5)
+    gold = spark.createDataFrame(
+        _SWEEP_GOLD, "doc_id string, prompt string, s int, e int"
+    )
+    out = span_f1(pred, gold, keys=("doc_id", "prompt", "s", "e"),
+                  group_col="prompt")
+    return out.select(
+        "prompt",
         F.col("num_correct").cast("long").alias("num_correct"),
         F.col("num_infer").cast("long").alias("num_infer"),
         F.col("num_label").cast("long").alias("num_label"),
@@ -689,7 +763,7 @@ def _bigrams_multiset_sql(col: str) -> str:
     )
 
 
-@register(
+@register_extra(
     "entity_link_scored",
     f"""
     WITH mentions AS (

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import load, register
+from .registry import load, register, register_extra
 
 # ---------------------------------------------------------------------------
 # Turn assembly (our D1->document step; reference reads pre-assembled docs,
@@ -193,7 +193,7 @@ def top1_per_group(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "span_eval_counts",
     """
     WITH pred AS (SELECT event_id, event_type FROM events WHERE value > 100),
@@ -276,7 +276,7 @@ def split_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "split_hash_counts",
     """
     WITH b AS (
