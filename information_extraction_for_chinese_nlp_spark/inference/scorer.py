@@ -125,14 +125,35 @@ class UIEOnnxScorer:
         the reference gets from ``batch_size=16``
         (run_infer.py:110, config/base_config.py:185-190). Scoring
         chunk-at-a-time would forfeit the entire GPU/CPU batching win.
+
+        Tokenizer failures do NOT kill the batch: the reference
+        substitutes content ``"無文本"`` and an empty result_list when its
+        tokenizer throws (utils/data_utils.py:183-198 — the zh bug class
+        that zeroed electra/xlnet/roformer, README.md:27). Mirrored here:
+        a raising item is re-tokenized with the fallback text (keeping
+        the feed row so the single ``session.run`` survives), its decoded
+        spans are discarded (empty list out), and its index is recorded
+        in ``self.last_failed`` (reset per call) so the caller can route
+        the document to quarantine instead of losing it.
         """
         from ..functions.offsets import drift_offsets, spans_from_token_ids
         from ..functions.spans import decode_spans
 
         limit = self.limit if limit is None else limit
+        self.last_failed: List[int] = []
         if not items:
             return []
-        encs = [self.tokenizer(prompt, content) for content, prompt in items]
+        encs = []
+        for i, (content, prompt) in enumerate(items):
+            try:
+                encs.append(self.tokenizer(prompt, content))
+            except Exception:
+                # reference fallback: same prompt, content "無文本"; the
+                # fallback must tokenize (it's 3 CJK chars) — if the
+                # tokenizer can't even do that, the config is broken and
+                # raising IS correct.
+                encs.append(self.tokenizer(prompt, "無文本"))
+                self.last_failed.append(i)
         names = [
             n
             for n in ("input_ids", "token_type_ids", "position_ids",
@@ -149,7 +170,13 @@ class UIEOnnxScorer:
         }
         start_probs, end_probs = self.session.run(None, feeds)
         out = []
+        failed = set(self.last_failed)
         for i, ((content, _prompt), enc) in enumerate(zip(items, encs)):
+            if i in failed:
+                # reference parity: result_list = [] for the fallback row
+                # (its decoded spans would map into "無文本", not content)
+                out.append([])
+                continue
             adjusted, drift = drift_offsets(enc["offset_mapping"])
             spans = []
             for ts, te, prob in decode_spans(start_probs[i], end_probs[i], limit):
@@ -239,19 +266,55 @@ EXTRACTION_DDL = (
 )
 
 
+def quarantined_extractions(extractions):
+    """The quarantine frame: (doc_id, chunk_idx, prompt) of chunks whose
+    tokenization crashed (sentinel rows from ``_score_chunk_items``) —
+    distinct, since a doc may quarantine under several prompts/chunks."""
+    from pyspark.sql import functions as F
+
+    return (
+        extractions.filter(F.col("probability").isNull())
+        .select("doc_id", "chunk_idx", "prompt")
+        .distinct()
+    )
+
+
+def ok_extractions(extractions):
+    """Drop quarantine sentinel rows (NULL probability) from an
+    EXTRACTION_DDL frame."""
+    from pyspark.sql import functions as F
+
+    return extractions.filter(F.col("probability").isNotNull())
+
+
 def _score_chunk_items(encoder, metas: List[tuple], limit: float,
                        serving_batch_size: int) -> List[tuple]:
     """metas = (doc_id, chunk_idx, chunk_start, content, prompt) rows ->
     decoded EXTRACTION_COLUMNS rows, scored through
     ``encoder.extract_batch`` in sub-batches of ``serving_batch_size``
     (one forward pass per sub-batch; one pass per Arrow batch whenever
-    the batch fits)."""
+    the batch fits).
+
+    Chunks the encoder quarantined (tokenizer crash -> ``last_failed``,
+    see ``UIEOnnxScorer.extract_batch``) emit a sentinel row with NULL
+    span_text/probability and start = end = -1 — the same
+    route-don't-lose pattern as ``make_chunk_udf``'s NULL chunks. Normal
+    rows always carry a non-NULL probability, so
+    ``quarantined_extractions`` / ``ok_extractions`` split the frame
+    without schema changes, and the strict ``> threshold`` filter in the
+    pipeline drops sentinels from results automatically (NULL compares
+    to nothing)."""
     rows: List[tuple] = []
     for off in range(0, len(metas), serving_batch_size):
         sub = metas[off : off + serving_batch_size]
         span_lists = encoder.extract_batch(
             [(content, prompt) for _, _, _, content, prompt in sub], limit
         )
+        for i in getattr(encoder, "last_failed", ()):
+            doc_id, chunk_idx, chunk_start, _content, prompt = sub[i]
+            rows.append(
+                (doc_id, chunk_idx, chunk_start, prompt, None, -1, -1, None)
+            )
         for (doc_id, chunk_idx, chunk_start, content, prompt), spans in zip(
             sub, span_lists
         ):

@@ -40,7 +40,19 @@ def connected_components(
     cleanup_dir: str | None = None
     if durable:
         sc = edges.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
+        # Ownership tracking: getCheckpointDir() keeps returning OUR
+        # auto-created (and afterwards deleted) dir on later calls, so
+        # "is it unset?" alone would make run 2+ skip the mkdtemp branch
+        # and checkpoint into a recreated dir nobody cleans — exactly the
+        # unbounded-/tmp growth this branch exists to prevent. A dir we
+        # created (recorded on the SparkContext in its RESOLVED form,
+        # scheme included) counts as unset. One durable run per
+        # SparkContext at a time: concurrent runs would share the global
+        # checkpoint dir and run 1's cleanup would delete run 2's live
+        # checkpoint files.
+        current = sc.getCheckpointDir()
+        auto_owned = getattr(sc, "_cc_auto_checkpoint_resolved", None)
+        if current is None or current == auto_owned:
             if not sc.master.startswith("local"):
                 # a driver-local tempdir is NOT shared storage: executors
                 # would checkpoint to their own /tmp and cross-node reads
@@ -53,10 +65,12 @@ def connected_components(
             # Per-run unique subdir (NOT a fixed shared path): repeated
             # runs must not accumulate unbounded checkpoint RDD files in
             # /tmp. setCheckpointDir is global SparkContext state — we
-            # only set it when unset, and we delete our own subdir after
-            # convergence (see finally below).
+            # only overwrite it when unset or when it points at a dir WE
+            # created, and we delete our own subdir after convergence
+            # (see finally below).
             cleanup_dir = tempfile.mkdtemp(prefix="spark-cc-checkpoint-")
             sc.setCheckpointDir(cleanup_dir)
+            sc._cc_auto_checkpoint_resolved = sc.getCheckpointDir()
 
     def cut(df: DataFrame) -> DataFrame:
         return df.checkpoint() if durable else df.localCheckpoint()

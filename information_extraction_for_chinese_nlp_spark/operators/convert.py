@@ -221,10 +221,11 @@ def split_dataset(
 def pack_documents(
     docs: DataFrame,
     cap_tokens: int = 2048,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 1000,
+    target_bucket_rows: int = 250_000,
 ) -> DataFrame:
     """Deterministic sequence packing for pretraining prep: assign each
     document to a fixed-token-budget pack.
@@ -241,10 +242,25 @@ def pack_documents(
     ≥ cap − max_doc and ≤ cap + max_doc tokens). Deterministic on any
     cluster size; token count is the whitespace count (swap in the
     BPE-ish proxy from textstats for byte-budget packing).
+
+    ``n_buckets`` is the parallelism/sort trade: each bucket's window
+    cumsum SORTS that bucket on ONE reducer, so buckets must stay
+    reducer-sized — but more buckets means more (tiny) partial packs at
+    the bucket tails. Default (None) derives it from the input:
+    ``ceil(count / target_bucket_rows)`` (one cheap columnar count), so
+    a 10^11-row corpus gets ~400k buckets instead of 64 giant
+    single-reducer sorts while a sandbox-sized input packs in a handful.
+    Pass an explicit ``n_buckets`` to pin the layout (and skip the
+    count) when reproducing a published packing.
     """
+    import math
+
     from pyspark.sql.window import Window
 
     from ..operators.textstats import token_count
+
+    if n_buckets is None:
+        n_buckets = max(1, math.ceil(docs.count() / target_bucket_rows))
 
     bucket = (
         F.conv(
@@ -292,9 +308,14 @@ def sample_stratified(
 
     ``fractions``: stratum value -> keep fraction in [0, 1]; strata not
     listed keep ``default_fraction``. Decision: row survives iff
-    md5('strat#<seed>#'||key) mod 1e6 < fraction·1e6 — so per-stratum
-    keep rates converge to the requested fractions with hash precision
-    1e-6.
+    md5('strat#<seed>#'||key) mod 1e6 < round(fraction·1e6) — so
+    per-stratum keep rates converge to the requested fractions with hash
+    precision 1e-6. The cutoff is computed as a Python integer
+    (``int(round(f * 1e6))``) and compared as a long LITERAL: a runtime
+    ``(f * 1e6).cast('long')`` would truncate in Spark but round in a
+    SQL engine's CAST for fractions whose ·1e6 isn't exactly
+    representable (0.29 -> 289999.999…), silently breaking bit-parity at
+    the hash boundary.
     """
     for v in fractions.values():
         if not 0.0 <= v <= 1.0:
@@ -313,7 +334,9 @@ def sample_stratified(
         ).cast("long")
         % 1000000
     )
-    frac = F.lit(float(default_fraction))
+    cutoff = F.lit(int(round(default_fraction * 1000000)))
     for stratum, f in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == stratum, F.lit(float(f))).otherwise(frac)
-    return df.filter(h < (frac * 1000000.0).cast("long"))
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(f * 1000000)))
+        ).otherwise(cutoff)
+    return df.filter(h < cutoff)

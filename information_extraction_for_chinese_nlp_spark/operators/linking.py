@@ -73,12 +73,21 @@ def block_key_for_mention(pred_col, obj_col):
     return F.concat_ws("#", pred_col, normalize_money_udf(obj_col))
 
 
+# The TF-IDF scorer fits its IDF table driver-side, which requires
+# collecting the DISTINCT aliases — valid only under the "small curated
+# dictionary" contract this module is built on. The guard makes that
+# contract enforceable instead of aspirational: past the cap the
+# collect would OOM the driver / bloat every task closure silently.
+MAX_TFIDF_ALIASES = 1_000_000
+
+
 def link_entities(
     mentions: DataFrame,
     alias_dict: DataFrame,
     threshold: float = 0.5,
     ngram: int = 2,
     scorer: str = "jaccard",
+    max_tfidf_aliases: int = MAX_TFIDF_ALIASES,
 ) -> DataFrame:
     """mentions(mention_id, pred, obj) × alias_dict(alias, canonical_id,
     block_key) -> (mention_id, pred, obj, canonical_id, score).
@@ -89,7 +98,12 @@ def link_entities(
     ``scorer``: 'jaccard' (char-n-gram set Jaccard, pure Catalyst — the
     default for short surfaces) or 'tfidf' (char-n-gram TF-IDF cosine
     via an Arrow-batched UDF, north_star's weighting for longer surface
-    forms — rare-n-gram agreement counts more than boilerplate).
+    forms — rare-n-gram agreement counts more than boilerplate). The
+    tfidf path collects the distinct aliases to the driver to fit the
+    IDF table and fails fast with a ValueError past
+    ``max_tfidf_aliases`` (count-checked BEFORE collecting) — an
+    alias set that large isn't a curated dictionary; use
+    ``scorer='jaccard'`` (fully distributed) there instead.
     """
     m = mentions.withColumn("block_key", block_key_for_mention(F.col("pred"), F.col("obj")))
     if scorer == "jaccard":
@@ -97,7 +111,17 @@ def link_entities(
             char_ngrams(F.col("obj"), ngram), char_ngrams(F.col("alias"), ngram)
         )
     elif scorer == "tfidf":
-        aliases = [r.alias for r in alias_dict.select("alias").distinct().collect()]
+        distinct_aliases = alias_dict.select("alias").distinct()
+        n_aliases = distinct_aliases.count()
+        if n_aliases > max_tfidf_aliases:
+            raise ValueError(
+                f"alias dictionary has {n_aliases} distinct aliases, over the "
+                f"tfidf driver-side fitting cap ({max_tfidf_aliases}); this "
+                "is beyond the small-curated-dict contract — use "
+                "scorer='jaccard' (fully distributed) or raise "
+                "max_tfidf_aliases explicitly"
+            )
+        aliases = [r.alias for r in distinct_aliases.collect()]
         score_fn = make_tfidf_scorer(aliases, ngram)
 
         @F.pandas_udf("double")

@@ -131,14 +131,17 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     )
 
 
-# PII patterns, ordered most-specific first (an email must redact as
-# EMAIL before its digit run could partially match PHONE). Kept
-# deliberately regex-simple: the point is the Catalyst-chain shape and
-# redaction accounting, not locale-complete PII coverage.
+# PII patterns, ordered most-specific first: an email must redact as
+# EMAIL before its digit run could partially match PHONE, and an
+# ID-shaped token (letter + 9 digits) must redact as IDNUM before PHONE
+# eats its 9-digit run (A123456789 -> A<PHONE>, mistyping the ID and
+# leaking the letter prefix). Kept deliberately regex-simple: the point
+# is the Catalyst-chain shape and redaction accounting, not
+# locale-complete PII coverage.
 PII_PATTERNS = [
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("PHONE", r"\+?[0-9][0-9 -]{7,14}[0-9]"),
     ("IDNUM", r"\b[A-Z][0-9]{9}\b"),  # TW national-ID shape (verdict corpus)
+    ("PHONE", r"\+?[0-9][0-9 -]{7,14}[0-9]"),
 ]
 
 

@@ -803,8 +803,8 @@ def winnow_fingerprints_q(spark, sf_dir):
     FROM documents
     WHERE ('0x' || substring(md5('strat#1000#' || CAST(doc_id AS VARCHAR)), 1, 8))
           ::BIGINT % 1000000
-          < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.0
-                  ELSE 0.1 END) * 1000000.0 AS BIGINT)
+          < (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 1000000
+             ELSE 100000 END)
     """,
 )
 def sample_stratified_q(spark, sf_dir):
@@ -866,6 +866,10 @@ _PII_DOCS = [
     (3, "no pii here just ordinary words"),
     (4, "x@y.io x@y.io dup dup dup dup"),
     (5, ""),
+    # same-char run straddling a newline: Spark's '(.)\1*' (Java '.'
+    # excludes \n) must report 3, not the merged 5 — forces the oracle
+    # onto the per-line semantics
+    (6, "zz\nzzz straddle"),
 ]
 
 
@@ -889,8 +893,8 @@ def _pii_df(spark):
                  regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
                    '<EMAIL>', 'g'),
-                 '\\+?[0-9][0-9 -]{{7,14}}[0-9]', '<PHONE>', 'g'),
-               '\\b[A-Z][0-9]{{9}}\\b', '<IDNUM>', 'g') AS text
+                 '\\b[A-Z][0-9]{{9}}\\b', '<IDNUM>', 'g'),
+               '\\+?[0-9][0-9 -]{{7,14}}[0-9]', '<PHONE>', 'g') AS text
       FROM d
     )
     SELECT doc_id, text,
@@ -919,12 +923,16 @@ def scrub_pii_q(spark, sf_dir):
                    ELSE 0.0 END, 6) AS dup_line_frac
       FROM lines
     ),
+    -- per-LINE run arithmetic: Java regex '.' (the Spark operator's
+    -- '(.)\\1*') excludes line terminators, so runs can neither straddle
+    -- nor contain a newline; RE2's '.' also drops \\n from the char list,
+    -- which would MERGE runs across the boundary ('aa\\naa' -> 4, not 2).
+    -- Splitting on chr(10) first pins both engines to one semantics.
     runs AS (
-      SELECT doc_id,
-             regexp_extract_all(text, '.') AS cl
-      FROM d
+      SELECT doc_id, regexp_extract_all(line, '.') AS cl
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d)
     ),
-    runmax AS (
+    linemax AS (
       SELECT doc_id,
              CASE WHEN len(cl) = 0 THEN 0
                   ELSE list_max(list_transform(
@@ -937,8 +945,11 @@ def scrub_pii_q(spark, sf_dir):
                        - (list_filter(range(1, len(cl) + 1),
                           i -> i = 1 OR cl[i] != cl[i - 1])
                           || [len(cl) + 1])[j]))
-             END AS char_run_max
+             END AS mx
       FROM runs
+    ),
+    runmax AS (
+      SELECT doc_id, max(mx) AS char_run_max FROM linemax GROUP BY doc_id
     ),
     toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d

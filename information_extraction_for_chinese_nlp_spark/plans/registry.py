@@ -24,7 +24,7 @@ _EXTRA: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
 # ever falls outside the window again), ``register_extra`` = consolidated
 # parity gates whose semantics are carried by a surviving primary gate AND
 # whose DuckDB-oracle comparison still runs in pytest
-# (tests/test_extra_gates_oracle.py) and via ``driver_sim.py --extra``.
+# (tests/test_oracle_parity.py) and via ``driver_sim.py --extra``.
 MAX_PRIMARY = 50
 
 

@@ -1,7 +1,9 @@
 """Driver-contract simulator: runs queries() vs oracle_sql() exactly as
 the grading driver does (sorted-column, 6-decimal value canon).
 
-Usage: python scripts/driver_sim.py [query ...]   # no args = all
+Usage: python scripts/driver_sim.py [--extra] [query ...]  # no args = all
+  --extra: also run the consolidated extra-tier gates
+           (registry.extra_queries(), not driver-facing)
 Env: SIM_SF_DIR (default /root/testdata/sf0.01)
 """
 
@@ -46,9 +48,23 @@ def canon(df):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    with_extra = "--extra" in args
+    only = {a for a in args if a != "--extra"}
     spark = get_spark("driver-sim", master="local[8]")
-    qs, os_ = E.queries(), E.oracle_sql()
+    qs, os_ = dict(E.queries()), dict(E.oracle_sql())
+    if with_extra or only:
+        from information_extraction_for_chinese_nlp_spark.plans import registry
+
+        extra_q, extra_sql = registry.extra_queries(), registry.extra_oracle_sql()
+        if with_extra:
+            qs.update(extra_q)
+            os_.update(extra_sql)
+        else:  # named extras resolve too, without needing the flag
+            for n in only & set(extra_q):
+                qs[n] = extra_q[n]
+                if n in extra_sql:
+                    os_[n] = extra_sql[n]
     fail = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -133,6 +133,45 @@ def test_pack_documents_budget_bounds(spark, sf_dir):
     )
 
 
+def test_pack_documents_derives_buckets_from_input_size(spark):
+    """n_buckets=None sizes the bucket count from the row count (each
+    bucket sorts on ONE reducer, so buckets must scale with the input):
+    ceil(count / target_bucket_rows)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        pack_documents,
+    )
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+        )
+
+    small = pack_documents(corpus(50), cap_tokens=64, target_bucket_rows=100)
+    big = pack_documents(corpus(1000), cap_tokens=64, target_bucket_rows=100)
+    assert small.select("bucket").distinct().count() == 1  # ceil(50/100)
+    # ceil(1000/100) = 10 derived buckets, all populated at n=1000
+    assert big.select("bucket").distinct().count() == 10
+    assert big.agg(F.max("bucket")).first()[0] == 9
+
+
+def test_sample_stratified_cutoff_rounds_not_truncates(spark):
+    """Fraction 0.29: cutoff must be round(0.29e6) = 290000, not the
+    truncated 289999 (0.29*1e6 = 289999.999…). doc_id 227430 hashes to
+    exactly 289999 (keep), 1794987 to 290000 (drop) — the two boundary
+    rows pin the rounding rule on both sides of the cutoff."""
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        sample_stratified,
+    )
+
+    df = spark.createDataFrame(
+        [(227430, "en"), (1794987, "en")], "doc_id long, lang string"
+    )
+    kept = {r.doc_id for r in sample_stratified(df, {"en": 0.29}).collect()}
+    assert kept == {227430}
+
+
 def test_sample_stratified_rates_and_determinism(spark, sf_dir):
     """Per-stratum keep rates track the requested fractions (hash
     precision), unlisted strata get the default, and the decision is

@@ -1,0 +1,92 @@
+"""Degenerate-cluster caps (default-on, counted drops) and the composed
+exact→LSH→CC→anti-join dedup pipeline."""
+
+from pyspark.sql import Observation
+
+from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+    dedup_pipeline,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+# 30 identical docs (an exact-dup cluster: identical signatures -> one
+# O(n²) bucket) + a near-dup pair + a loner.
+CLUSTER_TEXT = "same same same text again"
+
+
+def _docs(spark):
+    rows = [(i, CLUSTER_TEXT) for i in range(30)] + [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+        (200, "totally unrelated words nothing shared here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_bucket_drops_degenerate_cluster_and_counts(spark):
+    """An over-cap identical-signature bucket is dropped AND counted
+    (never silent): the Observation reports how many buckets/ids were
+    skipped, and no pair from the cluster survives."""
+    obs = Observation("lsh-drops")
+    pairs = minhash_lsh_pairs(
+        _docs(spark), n_bands=2, rows_per_band=2, max_bucket=10,
+        observation=obs,
+    ).collect()
+    touched = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert not any(i < 30 for i in touched), "dropped bucket leaked pairs"
+    m = obs.get
+    # the 30 clones share ALL bands -> one over-cap bucket per band
+    assert m["dropped_buckets"] == 2
+    assert m["dropped_ids"] == 60
+    assert m["max_bucket_size"] == 30
+
+
+def test_max_bucket_none_is_explicit_opt_out(spark):
+    obs = Observation("lsh-nodrops")
+    pairs = minhash_lsh_pairs(
+        _docs(spark), n_bands=2, rows_per_band=2, max_bucket=None,
+        observation=obs,
+    ).collect()
+    touched = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert all(i in touched for i in range(30))  # cluster pairs back
+    m = obs.get
+    assert m["dropped_buckets"] == 0
+    assert m["max_bucket_size"] == 30
+
+
+def test_max_df_caps_hot_shingles_and_counts(spark):
+    obs = Observation("jac-drops")
+    out = ngram_jaccard_pairs(
+        _docs(spark), n=3, threshold=0.05, max_df=10, observation=obs
+    ).collect()
+    touched = {r.doc_a for r in out} | {r.doc_b for r in out}
+    assert not any(i < 30 for i in touched)
+    assert (100, 101) in {(r.doc_a, r.doc_b) for r in out}
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["max_bucket_size"] == 30
+
+
+def test_dedup_pipeline_exact_prepass_then_near_then_cc(spark):
+    """Composed recipe: the exact pre-pass collapses the 30-clone cluster
+    to its min id BEFORE banding (so the default cap never fires), the
+    near-dup pair canonicalizes to its min id via CC, and survivors come
+    back with all original columns."""
+    out = dedup_pipeline(_docs(spark), n_bands=2, rows_per_band=2)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 0 survives the exact cluster; 100 survives the near-dup component
+    # (unless banding also linked 0/200 into it — doc 0's text shares no
+    # vocab with the others, so it cannot share a 2-row minhash band)
+    assert 0 in kept
+    assert 200 in kept
+    assert 100 in kept and 101 not in kept
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_pipeline_no_near_dups_keeps_all_canonicals(spark):
+    rows = [(1, "aa bb cc"), (2, "aa bb cc"), (3, "zz yy xx ww vv uu")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 1 and 2 are exact dups -> 1 kept; 1 vs 3 share nothing; but with
+    # only two canonical docs a shared band is still possible at r=2 —
+    # disjoint vocab makes every per-seed min differ, so no pair forms.
+    kept = sorted(r.doc_id for r in dedup_pipeline(docs).select("doc_id").collect())
+    assert kept == [1, 3]

@@ -143,3 +143,29 @@ def test_banded_max_bucket_caps_degenerate_clusters(spark):
     capped = raw_match_pairs(normed, 0.6, max_bucket=2).count()
     assert uncapped > 0
     assert capped < uncapped
+
+
+def test_tfidf_alias_dict_guard(spark):
+    """scorer='tfidf' collects the alias dictionary driver-side to fit
+    IDF — valid only under the small-curated-dict contract. Past the cap
+    it must fail fast (count-checked before collecting), steering the
+    caller to the distributed jaccard scorer."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "醫療費用", "98,532元")], "mention_id string, pred string, obj string"
+    )
+    aliases = spark.range(10).selectExpr(
+        "concat('alias', id) AS alias",
+        "concat('c', id) AS canonical_id",
+        "concat('醫療費用#', id) AS block_key",
+    )
+    with pytest.raises(ValueError, match="tfidf driver-side fitting cap"):
+        link_entities(mentions, aliases, scorer="tfidf", max_tfidf_aliases=5)
+    # under the cap the same dict links fine
+    out = link_entities(mentions, aliases, scorer="tfidf", max_tfidf_aliases=50)
+    assert out.count() == 1

@@ -137,6 +137,91 @@ def test_extract_batch_single_forward_pass():
     assert contents[3][s:e] == "12"
 
 
+class PoisonTokenizer(CharTokenizer):
+    """Raises on contents containing the poison marker — the zh
+    tokenizer bug class the reference guards against
+    (utils/data_utils.py:183-198)."""
+
+    def __call__(self, prompt: str, content: str):
+        if "☠" in content:
+            raise RuntimeError("tokenizer bug")
+        return super().__call__(prompt, content)
+
+
+def test_tokenizer_crash_fallback_batch_survives():
+    """A raising tokenizer must not kill the batch: the poisoned item is
+    re-tokenized as "無文本" (reference fallback), decodes to an EMPTY
+    span list, is recorded in last_failed, and the batch still runs in
+    ONE forward pass with every healthy item decoded normally."""
+    session = BatchPointerSession()
+    scorer = UIEOnnxScorer(session, PoisonTokenizer())
+    prompt = "醫療費用"
+    contents = ["支出98,532元", "poison☠98元", "費用700元整"]
+    results = scorer.extract_batch([(c, prompt) for c in contents])
+
+    assert session.n_runs == 1
+    assert scorer.last_failed == [1]
+    assert [len(r) for r in results] == [1, 0, 1]
+    s, e, _p = results[0][0]
+    assert contents[0][s:e] == "98,532"
+    s, e, _p = results[2][0]
+    assert contents[2][s:e] == "700"
+
+
+def test_tokenizer_crash_routes_doc_to_quarantine_row():
+    """_score_chunk_items emits a sentinel row (NULL span_text /
+    probability, start=end=-1) for the quarantined chunk — routed, not
+    lost — while healthy docs score normally."""
+    from information_extraction_for_chinese_nlp_spark.inference.scorer import (
+        EXTRACTION_COLUMNS,
+        _score_chunk_items,
+    )
+
+    scorer = UIEOnnxScorer(BatchPointerSession(), PoisonTokenizer())
+    prompt = "醫療費用"
+    metas = [
+        ("d0", 0, 0, "支出98,532元", prompt),
+        ("dbad", 0, 0, "poison☠98元", prompt),
+        ("d2", 0, 0, "費用700元整", prompt),
+    ]
+    rows = _score_chunk_items(scorer, metas, limit=0.5, serving_batch_size=64)
+    by_doc = {r[0]: r for r in rows}
+    assert set(by_doc) == {"d0", "dbad", "d2"}
+    bad = by_doc["dbad"]
+    assert dict(zip(EXTRACTION_COLUMNS, bad))["probability"] is None
+    assert dict(zip(EXTRACTION_COLUMNS, bad))["span_text"] is None
+    assert dict(zip(EXTRACTION_COLUMNS, bad))["start"] == -1
+    # healthy rows keep real probabilities
+    assert dict(zip(EXTRACTION_COLUMNS, by_doc["d0"]))["probability"] > 0.5
+    # sub-batch boundaries must not confuse last_failed indexing
+    rows2 = _score_chunk_items(
+        UIEOnnxScorer(BatchPointerSession(), PoisonTokenizer()),
+        metas, limit=0.5, serving_batch_size=1,
+    )
+    assert {r[0] for r in rows2 if r[7] is None} == {"dbad"}
+
+
+def test_quarantine_split_helpers(spark):
+    from information_extraction_for_chinese_nlp_spark.inference.scorer import (
+        EXTRACTION_DDL,
+        ok_extractions,
+        quarantined_extractions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d0", 0, 0, "醫療費用", "98元", 2, 5, 0.9),
+            ("dbad", 0, 0, "醫療費用", None, -1, -1, None),
+            ("dbad", 1, 40, "薪資收入", None, -1, -1, None),
+        ],
+        EXTRACTION_DDL,
+    )
+    q = quarantined_extractions(df).collect()
+    assert {(r.doc_id, r.chunk_idx) for r in q} == {("dbad", 0), ("dbad", 1)}
+    ok = ok_extractions(df).collect()
+    assert [r.doc_id for r in ok] == ["d0"]
+
+
 def test_fused_map_one_forward_pass_per_arrow_batch():
     """make_extract_map must score ALL chunks of an Arrow batch through
     extract_batch (≤ ceil(n_chunks / serving_batch_size) forward
