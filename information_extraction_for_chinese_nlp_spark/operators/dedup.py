@@ -80,6 +80,62 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str = "text",
+                  max_eval_grams: int = 50_000_000) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation corpus (the GPT-3/PaLM-style 13-gram
+    overlap rule; n defaults lower because the synthetic fixtures are
+    short — pass n=13 for real corpora).
+
+    -> (doc_id, n_hits, contaminated) for EVERY input doc: n_hits =
+    distinct overlapping n-grams, contaminated = n_hits > 0. Compose
+    with a filter or LEFT ANTI join to drop flagged docs.
+
+    Scale shape: the eval side is a benchmark — thousands of docs, not
+    the 100 TB side — so its distinct n-gram set BROADCASTS and the
+    corpus side never shuffles: explode distinct per-doc shingles, hash
+    join against the broadcast set, count per doc, left-join the flags
+    back (the flag join keys on ``id_col`` only — Catalyst broadcasts
+    the aggregated hit table, which is ≤ |contaminated docs| rows).
+    ``max_eval_grams`` fails fast if the "small" side isn't (a broadcast
+    that size would OOM every executor); shard the eval set and union
+    the flags if you genuinely need more.
+    """
+    eval_grams = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(eval_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    n_eval = eval_grams.count()
+    if n_eval > max_eval_grams:
+        raise ValueError(
+            f"eval corpus has {n_eval} distinct {n}-grams, over the "
+            f"broadcast cap ({max_eval_grams}); shard the eval set and "
+            "union the flags, or raise max_eval_grams explicitly"
+        )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), on="g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_seeds: int = 4,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, seed, minhash): per-seed min of md5(token#seed)

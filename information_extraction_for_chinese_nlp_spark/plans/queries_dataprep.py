@@ -440,6 +440,45 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing any word n-gram
+# with an eval corpus (GPT-3-style overlap rule; eval side broadcasts).
+# Eval set here = every 97th doc, so flagged docs are guaranteed and the
+# gate is non-vacuous at any SF.
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                              i -> array_to_string(list_slice(t, i, i + 7), ' '))
+             )) AS g
+      FROM toks
+    ),
+    eg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT sh.doc_id, count(*) AS n_hits
+      FROM sh JOIN eg USING (g) GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_q(spark, sf_dir):
+    from ..operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_docs, n=8)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — exact brute-force cosine top-k
 # ---------------------------------------------------------------------------
 

@@ -160,6 +160,28 @@ lambdas (inlining the hash array re-evaluates it per window element —
 measured minutes instead of seconds).
 """))
 
+from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+    decontaminate,
+    dedup_pipeline,
+)
+q = dedup_pipeline(docs.limit(200), n_bands=2, rows_per_band=2)
+sections.append(("dedup_pipeline (exact → LSH → CC → anti-join)", plan_of(q), """
+What to read: the exact-keep LEFT SEMI join sits BELOW the banding
+stage, so identical texts collapse to one canonical doc before any
+signature is computed — the O(n²) identical-signature bucket (the case
+max_bucket guards) structurally cannot form. The CC labels arrive as a
+localCheckpoint scan (lineage truncated per iteration), and the final
+keep-list is a LEFT ANTI join — no collect anywhere.
+"""))
+
+q = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
+sections.append(("decontaminate (eval-set n-gram overlap)", plan_of(q), """
+What to read: the eval corpus's distinct n-grams feed a
+BroadcastHashJoin — the training-corpus side (the 100 TB side) never
+shuffles for the overlap probe; only the tiny per-doc hit counts move,
+and they re-join the id spine via a second broadcast.
+"""))
+
 out = ["# PLANS — physical-plan audit (sf0.01, local[8])",
        "",
        "Generated by scripts/audit_plans.py; regenerate after plan-shape",

@@ -82,6 +82,36 @@ def test_dedup_pipeline_exact_prepass_then_near_then_cc(spark):
     assert set(out.columns) == {"doc_id", "text"}
 
 
+def test_decontaminate_flags_overlap_and_guards_broadcast(spark):
+    """Docs sharing an n-gram with the eval corpus are flagged (distinct
+    hit counts), clean docs come back with n_hits=0, and an eval side
+    over the broadcast cap fails fast."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps over a fence today"),
+            (3, "completely different words everywhere in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, eval_docs, n=5).collect()}
+    assert out[1].contaminated and out[1].n_hits == 1
+    assert out[2].contaminated and out[2].n_hits == 1
+    assert not out[3].contaminated and out[3].n_hits == 0
+
+    with pytest.raises(ValueError, match="broadcast cap"):
+        decontaminate(docs, eval_docs, n=2, max_eval_grams=2)
+
+
 def test_dedup_pipeline_no_near_dups_keeps_all_canonicals(spark):
     rows = [(1, "aa bb cc"), (2, "aa bb cc"), (3, "zz yy xx ww vv uu")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
