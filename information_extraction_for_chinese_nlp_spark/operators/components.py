@@ -120,3 +120,75 @@ def connected_components(
         if cleanup_dir is not None:
             shutil.rmtree(cleanup_dir, ignore_errors=True)
         raise
+
+
+def merge_components(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of new edges into a
+    converged (node, component) labeling WITHOUT re-running CC over the
+    full graph — the pattern a 10^12-turn KG needs, where each ingest
+    batch touches a vanishing fraction of the accumulated entity graph.
+
+    Standard contraction argument: components of (old graph ∪ new edges)
+    equal components of the CONTRACTED graph whose nodes are the old
+    component ids plus any brand-new nodes, with one edge per new edge
+    (endpoints mapped through their old labels). So the expensive
+    iteration runs only on the contraction graph — bounded by the new
+    batch size, not the accumulated graph — and the result joins back as
+    a relabel map. Component ids stay "min member id" because the min
+    over a merged component equals the min over its old component ids
+    (each of which is already the min of its members).
+
+    Equivalence with a full recompute over the union graph is
+    pytest-pinned (random planted graphs) and DuckDB-oracled.
+    """
+    # self-loops carry no connectivity and would otherwise surface their
+    # node as a spurious singleton (connected_components never emits
+    # loop-only nodes — keep the same contract)
+    new_edges = new_edges.filter(F.col(src) != F.col(dst))
+    e = new_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    s_lab = prev_labels.select(
+        F.col("node").alias("_s"), F.col("component").alias("_cs")
+    )
+    d_lab = prev_labels.select(
+        F.col("node").alias("_d"), F.col("component").alias("_cd")
+    )
+    contracted = (
+        e.join(s_lab, on="_s", how="left")
+        .join(d_lab, on="_d", how="left")
+        .select(
+            F.coalesce("_cs", "_s").alias("src"),
+            F.coalesce("_cd", "_d").alias("dst"),
+        )
+    )
+    relabel = connected_components(contracted, max_iter=max_iter).select(
+        F.col("node").alias("_key"), F.col("component").alias("_new")
+    )
+
+    # old nodes: relabel through their component id (untouched components
+    # are absent from the map -> keep their label)
+    relabeled_old = (
+        prev_labels.join(
+            relabel, prev_labels["component"] == relabel["_key"], "left"
+        )
+        .select(
+            "node", F.coalesce("_new", "component").alias("component")
+        )
+    )
+    # brand-new nodes: endpoints of new edges never seen before
+    new_nodes = (
+        new_edges.select(F.col(src).alias("node"))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(prev_labels.select("node"), on="node", how="left_anti")
+    )
+    labeled_new = (
+        new_nodes.join(relabel, new_nodes["node"] == relabel["_key"], "left")
+        .select("node", F.coalesce("_new", "node").alias("component"))
+    )
+    return relabeled_old.unionByName(labeled_new)

@@ -339,6 +339,49 @@ def connected_components_large_q(spark, sf_dir):
     return connected_components(edges)
 
 
+# Incremental CC: new edges merge {a,b,c}∪{d,e,f}, extend {g,h,i}, and
+# add a disjoint chain — the oracle is CC over the FULL union (recursive
+# CTE), the Spark side folds the batch into the converged old labeling
+# via the contraction graph (operators/components.merge_components).
+_CC_NEW_EDGES = [("c", "d"), ("i", "j"), ("p", "q"), ("q", "r")]
+
+
+def _cc_new_values() -> str:
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in _CC_NEW_EDGES)
+    return f"(VALUES {rows}) AS e(src, dst)"
+
+
+@register_extra(
+    "merge_components",
+    f"""
+    WITH RECURSIVE
+    alle AS (
+      SELECT src, dst FROM {_cc_values()}
+      UNION ALL
+      SELECT src, dst FROM {_cc_new_values()}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM alle
+      UNION
+      SELECT dst, src FROM alle
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS r FROM sym
+      UNION
+      SELECT s.b AS node, reach.r
+      FROM reach JOIN sym s ON reach.node = s.a
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def merge_components_q(spark, sf_dir):
+    from ..operators.components import connected_components, merge_components
+
+    old = spark.createDataFrame(_CC_EDGES, "src string, dst string")
+    new = spark.createDataFrame(_CC_NEW_EDGES, "src string, dst string")
+    return merge_components(connected_components(old), new)
+
+
 @register_extra(
     "connected_components",
     f"""

@@ -1,8 +1,10 @@
 """Connected components: durable (reliable checkpoint) vs local-block
-lineage truncation must be behavior-identical."""
+lineage truncation must be behavior-identical; incremental merge must
+equal a full recompute."""
 
 from information_extraction_for_chinese_nlp_spark.operators.components import (
     connected_components,
+    merge_components,
 )
 
 EDGES = [
@@ -55,3 +57,54 @@ def test_durable_auto_checkpoint_cleaned_on_every_run(spark):
         # cleanup removes the whole tempdir
         assert not os.path.exists(os.path.dirname(path)), d
     assert r1 == r2
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Folding a batch of new edges into a converged labeling via the
+    contraction graph must equal CC over the full union — on a random
+    graph covering merges (old component ∪ old component), extensions
+    (old ∪ new node), brand-new chains, and untouched components."""
+    import random
+
+    rnd = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    all_edges = [
+        (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(80)
+    ]
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    old, new = all_edges[:50], all_edges[50:]
+    old_df = spark.createDataFrame(old, "src string, dst string")
+    new_df = spark.createDataFrame(new, "src string, dst string")
+
+    prev = connected_components(old_df)
+    merged = merge_components(prev, new_df)
+    full = connected_components(old_df.union(new_df))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_components_cases(spark):
+    """Deterministic micro-cases: merge two old components, extend one
+    with a new node, add a disjoint new chain, leave one untouched."""
+    old = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")],
+        "src string, dst string",
+    )
+    prev = connected_components(old)
+    new = spark.createDataFrame(
+        [
+            ("b", "c"),      # merges {a,b} with {c,d} -> component 'a'
+            ("f", "g"),      # extends {e,f} with new node g
+            ("p", "q"),      # brand-new chain
+            ("x", "x"),      # self-loop: must not disturb {x,y}
+        ],
+        "src string, dst string",
+    )
+    got = {r.node: r.component for r in merge_components(prev, new).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "e": "e", "f": "e", "g": "e",
+        "p": "p", "q": "p",
+        "x": "x", "y": "x",
+    }
