@@ -207,6 +207,87 @@ def stream_dedup_exact(
     return writer.start()
 
 
+def stream_merge_components(
+    edges_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    available_now: bool = True,
+    keep_snapshots: int = 2,
+):
+    """Incremental KG canonicalization stream: each micro-batch folds its
+    match edges into the accumulated (node, component) labeling via
+    ``operators.components.merge_components`` — the CC iteration runs on
+    the batch-bounded contraction graph, never the accumulated
+    10^12-turn entity graph.
+
+    State = the labeling itself (the materialized vertex table: one row
+    per entity), written as a FULL snapshot per batch under
+    ``<output_path>/batch_id=N``. Replay safety follows the module
+    convention: each batch OVERWRITES its own directory and reads the
+    latest snapshot with ``batch_id < N``, so a replayed micro-batch
+    (foreachBatch is at-least-once) folds into the same predecessor and
+    rewrites byte-identical output — exactly-once at rest. Snapshots
+    more than ``keep_snapshots`` behind are deleted (only the immediate
+    predecessor is ever re-read on replay).
+
+    Final labeling = the max-batch_id snapshot; equality with a batch
+    ``connected_components`` over the concatenated edges is pinned in
+    test_streaming (and is order-independent, since min-label CC is).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.components import connected_components, merge_components
+
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        root = jvm.org.apache.hadoop.fs.Path(output_path)
+        fs = root.getFileSystem(hconf)
+
+        def _dir_bid(st):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                return None
+            try:
+                return int(name.split("=", 1)[1])
+            except ValueError:
+                return None
+
+        prev = None
+        if fs.exists(root):
+            prior = [
+                bid
+                for st in fs.listStatus(root)
+                if (bid := _dir_bid(st)) is not None and bid < batch_id
+            ]
+            if prior:
+                prev = spark.read.schema("node string, component string").parquet(
+                    f"{output_path}/batch_id={max(prior)}"
+                )
+        if prev is None:
+            labels = connected_components(batch_df, src=src, dst=dst)
+        else:
+            labels = merge_components(prev, batch_df, src=src, dst=dst)
+        labels.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                bid = _dir_bid(st)
+                if bid is not None and bid < batch_id - keep_snapshots:
+                    fs.delete(st.getPath(), True)
+
+    writer = (
+        edges_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def assemble_stream_stateful(
     transcripts_stream: DataFrame,
     gap_seconds: int = 3600,

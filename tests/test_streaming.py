@@ -189,3 +189,61 @@ def test_stream_dedup_state_compaction_bounds_dirs(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == 9
+
+
+def test_stream_merge_components_incremental(spark, tmp_path):
+    """Micro-batched edge ingest: the final labeling snapshot equals a
+    batch connected_components over ALL edges (any file order — min-label
+    CC is order-independent), and old snapshots are pruned."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        connected_components,
+    )
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_merge_components,
+    )
+
+    schema = StructType([
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+    ])
+    waves = [
+        [("a", "b"), ("c", "d")],            # two components
+        [("b", "c"), ("e", "f")],            # merge + new component
+        [("f", "g"), ("p", "q"), ("a", "a")],  # extend + new + self-loop
+    ]
+    src_dir = str(tmp_path / "edges_in")
+    for wave in waves:
+        spark.createDataFrame(wave, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    out = str(tmp_path / "labels")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_merge_components(
+        stream, out, str(tmp_path / "cckpt"), keep_snapshots=1
+    )
+    q.awaitTermination(120)
+
+    snaps = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    assert len(snaps) <= 2, snaps  # keep_snapshots=1 -> latest + 1
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id={snaps[-1]}")
+            .select("node", "component").collect())
+    )
+    all_edges = spark.createDataFrame(
+        [e for w in waves for e in w], schema
+    )
+    want = sorted(map(tuple, connected_components(all_edges).collect()))
+    assert got == want
