@@ -36,7 +36,8 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def dedup_pipeline(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                    id_col: str = "doc_id", text_col: str = "text",
                    max_bucket: int | None = 10_000,
-                   vectorized: bool = False) -> DataFrame:
+                   vectorized: bool = False,
+                   observation=None) -> DataFrame:
     """The standard 100 TB dedup recipe as ONE composed plan:
     exact-keep -> MinHash-LSH near-dup pairs -> connected components ->
     LEFT ANTI keep-list. Returns the surviving rows of ``docs``
@@ -59,6 +60,7 @@ def dedup_pipeline(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
     pairs = minhash_lsh_pairs(
         canonical, n_bands, rows_per_band, id_col, text_col,
         max_bucket=max_bucket, vectorized=vectorized,
+        observation=observation,
     )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     losers = comp.filter(F.col("node") != F.col("component")).select(
