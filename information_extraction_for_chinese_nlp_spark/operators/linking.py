@@ -88,6 +88,7 @@ def link_entities(
     ngram: int = 2,
     scorer: str = "jaccard",
     max_tfidf_aliases: int = MAX_TFIDF_ALIASES,
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """mentions(mention_id, pred, obj) × alias_dict(alias, canonical_id,
     block_key) -> (mention_id, pred, obj, canonical_id, score).
@@ -104,6 +105,13 @@ def link_entities(
     ``max_tfidf_aliases`` (count-checked BEFORE collecting) — an
     alias set that large isn't a curated dictionary; use
     ``scorer='jaccard'`` (fully distributed) there instead.
+
+    'embedding' (the third north_star scorer) scores candidates by the
+    cosine of ``emb_col`` arrays both frames must carry (mention-context
+    and alias embeddings from the same encoder) — pure Catalyst
+    ``aggregate``/``zip_with`` arithmetic, no UDF, fully distributed;
+    the blocking/broadcast/argmax machinery is shared with the other
+    scorers, so switching scorers never changes the join shape.
     """
     m = mentions.withColumn("block_key", block_key_for_mention(F.col("pred"), F.col("obj")))
     if scorer == "jaccard":
@@ -134,6 +142,22 @@ def link_entities(
             )
 
         score_col = tfidf_udf(F.col("obj"), F.col("alias"))
+    elif scorer == "embedding":
+        from .similarity import cosine
+
+        for side, df in (("mentions", mentions), ("alias_dict", alias_dict)):
+            if emb_col not in df.columns:
+                raise ValueError(
+                    f"scorer='embedding' needs an {emb_col!r} column on "
+                    f"{side}"
+                )
+        m = m.withColumnRenamed(emb_col, "_m_emb")
+        alias_dict = alias_dict.withColumnRenamed(emb_col, "_a_emb")
+        # NULL-safe: a missing embedding on either side scores 0.0
+        # (unlinked) instead of propagating NULL through the argmax
+        score_col = F.coalesce(
+            cosine(F.col("_m_emb"), F.col("_a_emb")), F.lit(0.0)
+        )
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     cand = m.join(

@@ -268,6 +268,76 @@ def entity_link_blocked(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Entity linking, embedding-cosine scorer (north_star's third scorer):
+# same blocking/broadcast/argmax machinery, score = Catalyst cosine over
+# embedding arrays both sides carry. Scores are strictly distinct per
+# mention so the argmax is comparator-independent across engines.
+# block_key literals = pred#normalize_money(obj) (98,532元→98532 etc.).
+# ---------------------------------------------------------------------------
+
+_EMB_MENTIONS = [
+    ("m1", "醫療費用", "98,532元", [1.0, 0.0, 0.0]),
+    ("m2", "醫療費用", "八萬元", [0.6, 0.8, 0.0]),
+    ("m3", "薪資收入", "98,532元", [0.0, 1.0, 0.0]),  # block has no aliases
+]
+_EMB_ALIASES = [
+    ("醫療98532", "c1", "醫療費用#98532", [0.9, 0.1, 0.0]),
+    ("醫療98532b", "c2", "醫療費用#98532", [0.0, 0.0, 1.0]),  # orthogonal
+    ("醫療80000", "c3", "醫療費用#80000", [0.6, 0.8, 0.0]),   # exact match
+]
+
+
+def _emb_mention_values() -> str:
+    rows = ", ".join(
+        f"('{m}', '{p}', '{o}', '{p}#{v}', {e})"
+        for (m, p, o, e), v in zip(_EMB_MENTIONS, ("98532", "80000", "98532"))
+    )
+    return f"(VALUES {rows}) AS m(mention_id, pred, obj, block_key, e)"
+
+
+def _emb_alias_values() -> str:
+    rows = ", ".join(
+        f"('{c}', '{b}', {e})" for _a, c, b, e in _EMB_ALIASES
+    )
+    return f"(VALUES {rows}) AS a(canonical_id, block_key, e)"
+
+
+@register_extra(
+    "entity_link_embedding",
+    f"""
+    WITH cand AS (
+      SELECT m.mention_id, m.pred, m.obj, a.canonical_id,
+             coalesce(
+               list_dot_product(m.e, a.e)
+               / (sqrt(list_dot_product(m.e, m.e))
+                  * sqrt(list_dot_product(a.e, a.e))),
+               0.0) AS score
+      FROM {_emb_mention_values()}
+      LEFT JOIN {_emb_alias_values()} USING (block_key)
+    )
+    SELECT mention_id, pred, obj,
+           arg_max(CASE WHEN score >= 0.5 THEN canonical_id END, score)
+             AS canonical_id,
+           round(max(score), 6) AS score
+    FROM cand GROUP BY mention_id, pred, obj
+    """,
+)
+def entity_link_embedding_q(spark, sf_dir):
+    from ..operators.linking import link_entities
+
+    mentions = spark.createDataFrame(
+        _EMB_MENTIONS,
+        "mention_id string, pred string, obj string, embedding array<double>",
+    )
+    aliases = spark.createDataFrame(
+        _EMB_ALIASES,
+        "alias string, canonical_id string, block_key string, "
+        "embedding array<double>",
+    )
+    return link_entities(mentions, aliases, scorer="embedding")
+
+
+# ---------------------------------------------------------------------------
 # Connected components (canonicalization) — iterative DataFrame joins vs a
 # recursive-CTE oracle on a fixed small graph with cycles.
 # ---------------------------------------------------------------------------

@@ -169,3 +169,33 @@ def test_tfidf_alias_dict_guard(spark):
     # under the cap the same dict links fine
     out = link_entities(mentions, aliases, scorer="tfidf", max_tfidf_aliases=50)
     assert out.count() == 1
+
+
+def test_embedding_scorer_links_by_cosine(spark):
+    """scorer='embedding': cosine over embedding arrays, fully Catalyst;
+    missing embedding columns fail fast."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "醫療費用", "98,532元", [1.0, 0.0])],
+        "mention_id string, pred string, obj string, embedding array<double>",
+    )
+    aliases = spark.createDataFrame(
+        [
+            ("a1", "good", "醫療費用#98532", [0.9, 0.1]),
+            ("a2", "bad", "醫療費用#98532", [0.0, 1.0]),
+        ],
+        "alias string, canonical_id string, block_key string, "
+        "embedding array<double>",
+    )
+    out = link_entities(mentions, aliases, scorer="embedding").collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == "good"
+    assert out[0].score > 0.9
+
+    with pytest.raises(ValueError, match="embedding"):
+        link_entities(mentions.drop("embedding"), aliases, scorer="embedding")
