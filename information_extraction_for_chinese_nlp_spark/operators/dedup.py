@@ -110,6 +110,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
             F.explode(word_shingles(F.col(eval_text_col), n)).alias("g")
         )
         .distinct()
+        # cached: the guard count below and the broadcast join both
+        # consume this aggregation — without the cache the eval-side
+        # explode+distinct runs as two full jobs
+        .cache()
     )
     n_eval = eval_grams.count()
     if n_eval > max_eval_grams:
@@ -327,7 +331,12 @@ def minhash_lsh_pairs(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
     defaults ON (10k — far above any honest near-dup cluster after an
     exact pre-pass, tiny next to the multi-million-row exact clusters a
     100 TB crawl corpus carries); pass ``max_bucket=None`` to opt out
-    explicitly. Dropped buckets are never silent: pass a
+    explicitly. ON is safe HERE because band keys are md5-string
+    r-tuples — a 2^128-sized keyspace where two documents share a
+    bucket only by sharing signature content, so bucket size tracks
+    duplication, not corpus size (contrast ``simhash_near_pairs``,
+    whose few-bit band keyspace makes buckets grow with N — its cap
+    defaults OFF). Dropped buckets are never silent: pass a
     ``pyspark.sql.Observation`` as ``observation`` to get
     ``dropped_buckets`` / ``dropped_ids`` / ``max_bucket_size`` after
     the first action. Run ``dedup_pipeline`` (exact pre-pass first)
@@ -596,7 +605,7 @@ def simhash_wide(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
                             max_hamming: int = 7, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_bucket: int | None = 10_000,
+                            max_bucket: int | None = None,
                             vectorized: bool = False,
                             observation=None) -> DataFrame:
     """64-bit variant of ``simhash_near_pairs``: pigeonhole banding over
@@ -605,9 +614,16 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
     n_bands-1, exact ``bit_count(xor)`` verify per word. Bands must not
     straddle the word boundary (32 % (64/n_bands) == 0).
     ``vectorized=True`` computes fingerprints via ``simhash_wide_np``
-    (identical output, no tokens×64 explode). ``max_bucket`` defaults ON
-    (identical-band clusters expand O(n²); ``observation`` counts drops
-    — see ``minhash_lsh_pairs``)."""
+    (identical output, no tokens×64 explode).
+
+    ``max_bucket`` defaults OFF here, unlike ``minhash_lsh_pairs``: a
+    SimHash band has only 2^(64/n_bands) possible values (256 at the
+    default n_bands=8), so bucket sizes grow ~N/keyspace with corpus
+    size — a fixed cap would eventually drop EVERY bucket and silently
+    void the pigeonhole recall contract. Capping is still right for
+    true exact-dup clusters (identical fingerprints): run
+    ``dedup_exact``/``dedup_pipeline`` first, or set the cap explicitly
+    with an ``observation`` so drops are counted."""
     bpb = 64 // n_bands
     if n_bands * bpb != 64:
         raise ValueError("n_bands must divide 64")
@@ -661,7 +677,7 @@ def simhash_near_pairs_wide(docs: DataFrame, n_bands: int = 8,
 def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
                        max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_bucket: int | None = 10_000,
+                       max_bucket: int | None = None,
                        observation=None) -> DataFrame:
     """-> (doc_a, doc_b, hamming): SimHash pairs with fingerprint
     Hamming distance ≤ max_hamming.
@@ -672,9 +688,13 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
     (band_id, band_bits) has recall 1.0 for max_hamming ≤ n_bands-1 —
     candidates then verify the true distance with bit_count(xor).
     Same single-pass bucket expansion as minhash_lsh_pairs (fingerprint
-    computed once, no self-join); ``max_bucket`` caps degenerate
-    identical-fingerprint clusters — default ON, ``None`` to opt out,
-    drops counted via ``observation`` (see ``minhash_lsh_pairs``).
+    computed once, no self-join). ``max_bucket`` defaults OFF: band
+    values span only 2^(n_bits/n_bands) possibilities (16 at the
+    defaults), so bucket size grows ~N/keyspace — a fixed cap would
+    drop every bucket past moderate corpus sizes and silently break the
+    pigeonhole recall contract. Set it explicitly (with an
+    ``observation`` so drops are counted) only when targeting true
+    exact-dup clusters — or better, exact-dedup first.
     """
     bpb = n_bits // n_bands
     if n_bands * bpb != n_bits:

@@ -192,7 +192,7 @@ def lsh_near_dup_pairs(
     max_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
     observation=None,
 ) -> DataFrame:
     """-> (vec_a, vec_b, sim): embedding-cosine near-dup pairs on an
@@ -202,10 +202,13 @@ def lsh_near_dup_pairs(
     inside probe buckets (two vectors meet iff their fingerprints are
     within 2·max_hamming bits — within max_hamming they share a middle
     code with certainty), then the exact cosine verifies. Candidate
-    volume is bucket-bound, never all-pairs; ``max_bucket`` caps
-    degenerate identical-fingerprint clusters like the dedup operators —
-    default ON, ``None`` = explicit opt-out, drops counted via
-    ``observation`` (see ``dedup.minhash_lsh_pairs``).
+    volume is bucket-bound, never all-pairs. ``max_bucket`` defaults
+    OFF: probe codes span only 2^n_planes values (64 at the default),
+    so bucket sizes grow ~N/keyspace with the corpus — a fixed cap
+    would eventually drop every bucket and silently zero the output.
+    Set it explicitly (with an ``observation`` counting drops, see
+    ``dedup.minhash_lsh_pairs``) only for true identical-vector
+    clusters, or raise n_planes so buckets stay small.
     """
     from ..operators.dedup import _bucket_pairs, _cap_buckets
 

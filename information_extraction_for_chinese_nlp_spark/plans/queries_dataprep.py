@@ -81,8 +81,11 @@ def minhash_signatures_q(spark, sf_dir):
 def minhash_lsh_pairs_q(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
 
+    # explicit max_bucket=None: the DuckDB oracle models NO cap, and the
+    # gate must stay bit-equal to it at ANY scale factor
     return minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n_bands=2, rows_per_band=2
+        load(spark, sf_dir, "documents"), n_bands=2, rows_per_band=2,
+        max_bucket=None,
     )
 
 
@@ -119,7 +122,7 @@ def minhash_vectorized_pairs_q(spark, sf_dir):
 
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n_bands=4, rows_per_band=2,
-        vectorized=True,
+        vectorized=True, max_bucket=None,
     )
 
 
@@ -436,7 +439,10 @@ def simhash64_near_pairs_q(spark, sf_dir):
 def ngram_jaccard_q(spark, sf_dir):
     from ..operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    # explicit max_df=None: the oracle models no hot-shingle cap
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.1, max_df=None
+    )
 
 
 # ---------------------------------------------------------------------------

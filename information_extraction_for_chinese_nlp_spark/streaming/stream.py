@@ -236,6 +236,11 @@ def stream_merge_components(
     ``connected_components`` over the concatenated edges is pinned in
     test_streaming (and is order-independent, since min-label CC is).
     """
+    if keep_snapshots < 1:
+        # replay reads the immediate predecessor: deleting it (0) would
+        # let a crash between delete and checkpoint-commit silently
+        # RESET the accumulated labeling to just the replayed batch
+        raise ValueError("keep_snapshots must be >= 1")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.components import connected_components, merge_components
@@ -263,9 +268,13 @@ def stream_merge_components(
                 if (bid := _dir_bid(st)) is not None and bid < batch_id
             ]
             if prior:
-                prev = spark.read.schema("node string, component string").parquet(
-                    f"{output_path}/batch_id={max(prior)}"
-                )
+                # node/component types follow the stream's src column
+                # (string conv ids, long doc ids, ...) — a hardcoded
+                # string schema would throw on INT64 snapshots
+                node_t = batch_df.schema[src].dataType.simpleString()
+                prev = spark.read.schema(
+                    f"node {node_t}, component {node_t}"
+                ).parquet(f"{output_path}/batch_id={max(prior)}")
         if prev is None:
             labels = connected_components(batch_df, src=src, dst=dst)
         else:

@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> dict:
                     default="pipeline")
     ap.add_argument("--n-bands", type=int, default=4)
     ap.add_argument("--rows-per-band", type=int, default=2)
-    ap.add_argument("--max-bucket", type=int, default=10_000)
+    ap.add_argument("--max-bucket", type=int, default=10_000,
+                    help="degenerate-cluster cap for LSH banding; -1 = no cap")
     ap.add_argument("--vectorized", action="store_true",
                     help="mapInPandas signature path (large hash budgets)")
     ap.add_argument("--decontaminate", default=None,
@@ -98,7 +99,8 @@ def main(argv: list[str] | None = None) -> dict:
         docs = dedup_pipeline(
             docs, n_bands=args.n_bands, rows_per_band=args.rows_per_band,
             id_col=id_col, text_col=text_col,
-            max_bucket=args.max_bucket or None, vectorized=args.vectorized,
+            max_bucket=None if args.max_bucket < 0 else args.max_bucket,
+            vectorized=args.vectorized,
             observation=obs,
         )
     elif args.dedup == "exact":
@@ -130,14 +132,6 @@ def main(argv: list[str] | None = None) -> dict:
         docs = docs.join(q, on=id_col, how="left_semi")
         metrics["n_after_quality"] = docs.count()
 
-    if args.sample:
-        docs = sample_stratified(
-            docs, _parse_fractions(args.sample), strata_col=args.strata_col,
-            key_cols=(id_col,), seed=args.seed,
-            default_fraction=args.default_fraction,
-        )
-        metrics["n_after_sample"] = docs.count()
-
     if args.scrub_pii:
         red = scrub_pii(docs, id_col, text_col)
         docs = (
@@ -149,6 +143,14 @@ def main(argv: list[str] | None = None) -> dict:
             docs.agg(F.sum("n_redactions")).first()[0] or 0
         )
         docs = docs.drop("n_redactions")
+
+    if args.sample:
+        docs = sample_stratified(
+            docs, _parse_fractions(args.sample), strata_col=args.strata_col,
+            key_cols=(id_col,), seed=args.seed,
+            default_fraction=args.default_fraction,
+        )
+        metrics["n_after_sample"] = docs.count()
 
     if args.coalesce:
         docs = docs.coalesce(1)

@@ -247,3 +247,57 @@ def test_stream_merge_components_incremental(spark, tmp_path):
     )
     want = sorted(map(tuple, connected_components(all_edges).collect()))
     assert got == want
+
+
+def test_stream_merge_components_long_ids_and_guard(spark, tmp_path):
+    """Snapshot read schema must follow the stream's id type (long ids
+    crashed a hardcoded string schema on batch 2); keep_snapshots=0 is
+    rejected (replay needs the immediate predecessor)."""
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        connected_components,
+    )
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_merge_components,
+    )
+
+    schema = StructType([
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+    ])
+    waves = [[(1, 2)], [(2, 3), (10, 11)]]
+    src_dir = str(tmp_path / "edges_long")
+    for wave in waves:
+        spark.createDataFrame(wave, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "labels_long")
+    q = stream_merge_components(stream, out, str(tmp_path / "lckpt"))
+    q.awaitTermination(120)
+
+    import os
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id={last}").collect())
+    )
+    want = sorted(map(tuple, connected_components(
+        spark.createDataFrame([e for w in waves for e in w], schema)
+    ).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="keep_snapshots"):
+        stream_merge_components(stream, out, str(tmp_path / "x"),
+                                keep_snapshots=0)
