@@ -109,6 +109,13 @@ def parse_money(money: str) -> int:
             zero_after_unit = False
             seen_number = True
         elif ch in _SECTIONS:
+            if section + current == 0:
+                # bare/leading section char (萬, 萬五, 零萬): cn2an has no
+                # digits to scale, raises, and the reference routes the
+                # surface to the outlier — parsing it as 0 would collide
+                # with genuine zero amounts under one canonical key.
+                # (十萬 stays valid: the 十 branch set section=10.)
+                raise ValueError(f"section {ch!r} without digits in {money!r}")
             section = (section + current) * _SECTIONS[ch]
             total += section
             section = 0

@@ -118,8 +118,13 @@ class TableIO:
 
             df = df.withColumn(stamp_snapshot_col, F.lit(snapshot_id))
         if self.use_iceberg:  # pragma: no cover - no Iceberg jar in sandbox
-            writer = df.writeTo(f"{self.warehouse}.{table}")
-            if mode == "overwrite":
+            full = f"{self.warehouse}.{table}"
+            writer = df.writeTo(full)
+            # bootstrap: writeTo(...).append() THROWS on a nonexistent
+            # table, so a fresh warehouse could never take its first
+            # append (ResumableRunner only ever appends) — append to a
+            # missing table means create-with-contents.
+            if mode == "overwrite" or not self.spark.catalog.tableExists(full):
                 writer.createOrReplace()
             else:
                 writer.append()

@@ -114,10 +114,14 @@ class ResumableRunner:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
 
     def pending(self, df: DataFrame) -> DataFrame:
-        """Input minus completed buckets, via LEFT ANTI join on bucket."""
+        """Input minus completed buckets, via LEFT ANTI join on bucket.
+        Returns the INPUT schema (the internal bucket column is dropped,
+        matching what ``run`` hands to ``process``)."""
         with_bucket = df.withColumn("_bucket", self.bucket_col())
         wm = self.watermarks().select(F.col("bucket").alias("_bucket")).distinct()
-        return with_bucket.join(F.broadcast(wm), on="_bucket", how="left_anti")
+        return with_bucket.join(
+            F.broadcast(wm), on="_bucket", how="left_anti"
+        ).drop("_bucket")
 
     def _prune_orphan_snapshots(self, stamp_snapshot_col: str | None) -> int:
         """Drop output snapshots that have no watermark — the crash

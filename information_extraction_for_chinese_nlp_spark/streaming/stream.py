@@ -29,6 +29,28 @@ from ..plans.pipeline import extract_triples
 from ..schemas import TRANSCRIPTS
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(fs, Path class, path) via the JVM Hadoop FS API — one driver-side
+    listing instead of per-batch exists() RPCs; shared by the
+    foreachBatch state managers below."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    p = path_cls(path)
+    return p.getFileSystem(hconf), path_cls, p
+
+
+def _batch_dir_id(status):
+    """batch_id of a 'batch_id=N' state directory, None for foreign dirs."""
+    name = status.getPath().getName()
+    if not name.startswith("batch_id="):
+        return None
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def read_transcript_stream(spark: SparkSession, path: str,
                            max_files_per_trigger: int = 8) -> DataFrame:
     return (
@@ -109,22 +131,26 @@ def stream_dedup_exact(
         hashed = batch_df.withColumn(
             "_h", F.coalesce(F.md5(F.col(text_col)), F.lit("<null>"))
         )
-        keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+        keep = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
         # dropDuplicates: an at-least-once upstream can deliver the SAME
         # (id, text) row twice in one batch — batch-operator parity means
-        # exactly one output row per distinct text
-        firsts = hashed.join(keep, on=["_h", id_col], how="inner").dropDuplicates(
-            ["_h", id_col]
+        # exactly one output row per distinct text. The keeper match is
+        # NULL-SAFE: a group whose every id is NULL has _keep_id NULL
+        # (min skips nulls), and a plain join on the id column would
+        # silently drop the group AND its hash from the _seen state —
+        # dedup_exact keeps a keep_id=NULL row for it.
+        firsts = (
+            hashed.join(keep, on="_h", how="inner")
+            .filter(F.col(id_col).eqNullSafe(F.col("_keep_id")))
+            .drop("_keep_id")
+            .dropDuplicates(["_h", id_col])
         )
         # one partition-discovery read with an EXPLICIT schema: no
         # footer sampling (this batch's own in-flight directory may hold
         # a partial file on replay — partition pruning on batch_id < N
         # never touches its files), no broad except swallowing real IO
-        # errors, one driver listing instead of per-batch exists() RPCs.
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
-        seen_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_seen")
-        fs = seen_root.getFileSystem(hconf)
+        # errors.
+        fs, _Path, seen_root = _hadoop_fs(spark, f"{output_path}/_seen")
         seen = None
         if fs.exists(seen_root):
             seen = (
@@ -167,34 +193,21 @@ def stream_dedup_exact(
             # and everything below prev is contained in prev's snapshot.
             # Keying deletion on actual markers (not arithmetic) stays
             # safe when compact_every changes between restarts.
-            def _dir_bid(st):
-                name = st.getPath().getName()
-                if not name.startswith("batch_id="):
-                    return None
-                try:
-                    return int(name.split("=", 1)[1])
-                except ValueError:  # foreign dir — leave it alone
-                    return None
-
-            marker = jvm.org.apache.hadoop.fs.Path(
-                f"{output_path}/_seen/batch_id={batch_id}/_SNAPSHOT"
-            )
+            marker = _Path(f"{output_path}/_seen/batch_id={batch_id}/_SNAPSHOT")
             fs.create(marker, True).close()
             prev_snaps = [
                 bid
                 for st in fs.listStatus(seen_root)
-                if (bid := _dir_bid(st)) is not None
+                if (bid := _batch_dir_id(st)) is not None
                 and bid < batch_id
                 and fs.exists(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{output_path}/_seen/batch_id={bid}/_SNAPSHOT"
-                    )
+                    _Path(f"{output_path}/_seen/batch_id={bid}/_SNAPSHOT")
                 )
             ]
             if prev_snaps:
                 cutoff = max(prev_snaps)
                 for st in fs.listStatus(seen_root):
-                    bid = _dir_bid(st)
+                    bid = _batch_dir_id(st)
                     if bid is not None and bid < cutoff:
                         fs.delete(st.getPath(), True)
 
@@ -246,32 +259,26 @@ def stream_merge_components(
         from ..operators.components import connected_components, merge_components
 
         spark = batch_df.sparkSession
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
-        root = jvm.org.apache.hadoop.fs.Path(output_path)
-        fs = root.getFileSystem(hconf)
-
-        def _dir_bid(st):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                return None
-            try:
-                return int(name.split("=", 1)[1])
-            except ValueError:
-                return None
+        fs, _Path, root = _hadoop_fs(spark, output_path)
 
         prev = None
         if fs.exists(root):
             prior = [
                 bid
                 for st in fs.listStatus(root)
-                if (bid := _dir_bid(st)) is not None and bid < batch_id
+                if (bid := _batch_dir_id(st)) is not None and bid < batch_id
             ]
             if prior:
-                # node/component types follow the stream's src column
-                # (string conv ids, long doc ids, ...) — a hardcoded
-                # string schema would throw on INT64 snapshots
-                node_t = batch_df.schema[src].dataType.simpleString()
+                # node/component types follow the stream's id columns —
+                # a hardcoded string schema would throw on INT64
+                # snapshots. Widened via a schema-only union (src int +
+                # dst long ⇒ snapshot written as long, so reading with
+                # src's narrower type alone would also throw).
+                node_t = (
+                    batch_df.select(F.col(src).alias("_n"))
+                    .union(batch_df.select(F.col(dst).alias("_n")))
+                    .schema["_n"].dataType.simpleString()
+                )
                 prev = spark.read.schema(
                     f"node {node_t}, component {node_t}"
                 ).parquet(f"{output_path}/batch_id={max(prior)}")
@@ -284,7 +291,7 @@ def stream_merge_components(
         )
         if fs.exists(root):
             for st in fs.listStatus(root):
-                bid = _dir_bid(st)
+                bid = _batch_dir_id(st)
                 if bid is not None and bid < batch_id - keep_snapshots:
                     fs.delete(st.getPath(), True)
 
@@ -311,6 +318,17 @@ def assemble_stream_stateful(
     as long as they land before the gap closes.
 
     Output: (doc_id, text, n_turns) rows, one per closed conversation.
+
+    Tail caveat: processing-time timeouts fire at the START of a LATER
+    micro-batch, never when the query stops — under a
+    ``trigger(availableNow=True)`` drain, conversations still open after
+    the last input file stay in checkpointed state unemitted. They are
+    NOT lost (the state survives in the checkpoint): flush them by
+    running the query again against the same checkpoint after
+    ``gap_seconds`` with any new input (or an empty trigger interval on
+    a continuous run). For drain-style jobs where every conversation
+    must emit in one invocation, use the batch path (``assemble_turns``)
+    — the per-batch foreachBatch caveat does not apply to a full drain.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -362,7 +380,16 @@ def windowed_edge_counts(
         .agg(
             F.count("*").alias("n_turns"),
             F.sum(
-                F.when(F.col("text").rlike("[0-9][0-9,]*元"), 1).otherwise(0)
+                # same mention class the extraction stub scans for —
+                # ASCII digits alone would miss the dominant zh surface
+                # forms (五百元, 兩千五百元)
+                F.when(
+                    F.col("text").rlike(
+                        "(?:[0-9][0-9,\\.]*"
+                        "|[零〇一二三四五六七八九十百千萬万億兩两]+)+元"
+                    ),
+                    1,
+                ).otherwise(0)
             ).alias("n_money_turns"),
         )
         .select(

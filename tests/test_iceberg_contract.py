@@ -62,10 +62,20 @@ class _FakeRead:
         return _FakeDF(self._calls)
 
 
+class _FakeCatalog:
+    def __init__(self, calls, exists):
+        self._calls, self._exists = calls, exists
+
+    def tableExists(self, table):
+        self._calls.append(("tableExists", table))
+        return self._exists
+
+
 class _FakeSpark:
-    def __init__(self, sql_raises=None):
+    def __init__(self, sql_raises=None, table_exists=True):
         self.calls = []
         self._sql_raises = sql_raises
+        self.catalog = _FakeCatalog(self.calls, table_exists)
 
     def sql(self, q):
         self.calls.append(("sql", re.sub(r"\s+", " ", q).strip()))
@@ -99,7 +109,24 @@ def test_iceberg_write_overwrite_and_append(spark, tmp_path):
     assert fake.calls == [
         ("withColumn", "snapshot_id"),
         ("writeTo", "wh.edges"),
+        ("tableExists", "wh.edges"),
         ("append", "wh.edges"),
+    ]
+
+
+def test_iceberg_append_bootstraps_missing_table(spark, tmp_path):
+    """First-ever append on a fresh warehouse must CREATE the table
+    (writeTo().append() throws on a nonexistent table, and
+    ResumableRunner only ever appends — without the bootstrap branch a
+    fresh Iceberg warehouse could never take its first output or
+    watermark write)."""
+    fake = _FakeSpark(table_exists=False)
+    io = _iceberg_io(tmp_path, fake)
+    io.write(_FakeDF(fake.calls), "edges", mode="append")
+    assert fake.calls == [
+        ("writeTo", "wh.edges"),
+        ("tableExists", "wh.edges"),
+        ("createOrReplace", "wh.edges"),
     ]
 
 

@@ -57,3 +57,20 @@ def test_parse_money_rejects_garbage():
         parse_money("abc")
     with pytest.raises(ValueError):
         parse_money("")
+
+
+def test_bare_section_routes_to_outlier():
+    """'萬'/'億' with no preceding digits: cn2an raises and the reference
+    routes the surface to 'nan' — parsing 0 would collide with genuine
+    zero amounts (tools/regularize_money_from_csv_results.py:131-140)."""
+    from information_extraction_for_chinese_nlp_spark.functions.money import (
+        normalize_money,
+    )
+
+    assert normalize_money("萬餘元") == "nan"
+    assert normalize_money("萬五") == "nan"
+    assert normalize_money("億") == "nan"
+    assert normalize_money("零萬") == "nan"
+    # unit-led sections remain valid
+    assert normalize_money("十萬元") == "100000"
+    assert normalize_money("一億零五萬") == "100050000"
