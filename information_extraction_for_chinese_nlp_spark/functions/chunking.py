@@ -99,6 +99,14 @@ def chunk_content(
                 )
         chunks.append((pos, piece, local))
         pos += width
+    if i < len(ordered):
+        # a span starting at/after len(content) can never round-trip —
+        # silently dropping it would lose the training label invisibly;
+        # raise so the row quarantines like every other data error
+        s, e, _ = ordered[i]
+        raise ChunkDataError(
+            f"span start={s} end={e} beyond content length {n}"
+        )
     return chunks
 
 
@@ -141,14 +149,17 @@ def make_chunk_udf(max_seq_len: int = 512):
             if t is None or p is None:
                 out.append(None)
                 continue
-            tuples = (
-                []
-                if sp is None
-                else [(int(s["start"]), int(s["end"]), s["text"]) for s in sp]
-            )
             try:
+                # tuple building sits INSIDE the try: a span struct with
+                # NULL start/end (int(None) -> TypeError) is a data
+                # error that must quarantine, not kill the task
+                tuples = (
+                    []
+                    if sp is None
+                    else [(int(s["start"]), int(s["end"]), s["text"]) for s in sp]
+                )
                 chunks = chunk_content(t, p, max_seq_len, tuples)
-            except (ChunkDataError, ValueError):
+            except (ChunkDataError, ValueError, TypeError):
                 out.append(None)
                 continue
             out.append(

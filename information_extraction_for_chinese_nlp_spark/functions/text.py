@@ -138,11 +138,22 @@ def regularize_udf(text: pd.Series, spans: pd.Series) -> pd.DataFrame:
             out_text.append(None)
             out_spans.append(None)
             continue
-        tuples = (
-            []
-            if sp is None
-            else [(int(s["start"]), int(s["end"]), s["text"], s["label"]) for s in sp]
-        )
+        try:
+            # NULL start/end in a span struct (int(None) -> TypeError) is
+            # a data error: emit the NULL row the quarantine filter
+            # catches, don't kill the task
+            tuples = (
+                []
+                if sp is None
+                else [
+                    (int(s["start"]), int(s["end"]), s["text"], s["label"])
+                    for s in sp
+                ]
+            )
+        except TypeError:
+            out_text.append(None)
+            out_spans.append(None)
+            continue
         nt, ns = regularize_with_spans(t, tuples)
         out_text.append(nt)
         out_spans.append(

@@ -34,7 +34,11 @@ def parse_labelstudio(raw: DataFrame) -> Tuple[DataFrame, DataFrame]:
     flat = raw.select(
         F.col("id").cast("string").alias("doc_id"),
         F.col("data.text").alias("text"),
-        F.element_at("annotations", 1)["result"].alias("_results"),
+        # try_element_at: annotations = [] (exported but never annotated)
+        # must yield NULL results -> empty spans, not the ANSI
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT that element_at throws under
+        # Spark 4 defaults, killing the whole import
+        F.try_element_at("annotations", F.lit(1))["result"].alias("_results"),
     )
     exploded = flat.select(
         "doc_id", "text", F.explode_outer("_results").alias("r")
@@ -61,7 +65,9 @@ def parse_labelstudio(raw: DataFrame) -> Tuple[DataFrame, DataFrame]:
                         F.col("r.value.start").alias("start"),
                         F.col("r.value.end").alias("end"),
                         F.col("r.value.text").alias("text"),
-                        F.element_at(F.col("r.value.labels"), 1).alias("label"),
+                        F.try_element_at(
+                            F.col("r.value.labels"), F.lit(1)
+                        ).alias("label"),
                     ),
                 )
             )
@@ -167,14 +173,10 @@ def split_hash(
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
                         F.lit(n_buckets))
     elif hasher == "md5":
+        from ..functions.hashing import md5_long
+
         bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", *[F.col(c) for c in cols], F.lit(seed))),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long")
+            md5_long(F.concat_ws("#", *[F.col(c) for c in cols], F.lit(seed)))
             % n_buckets
         )
     else:
@@ -262,14 +264,10 @@ def pack_documents(
     if n_buckets is None:
         n_buckets = max(1, math.ceil(docs.count() / target_bucket_rows))
 
+    from ..functions.hashing import md5_long
+
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"pack#{seed}#"), F.col(id_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
+        md5_long(F.concat(F.lit(f"pack#{seed}#"), F.col(id_col).cast("string")))
         % n_buckets
     )
     toks = docs.select(
@@ -320,18 +318,12 @@ def sample_stratified(
     for v in fractions.values():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction {v} outside [0, 1]")
+    from ..functions.hashing import md5_long
+
     h = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", F.lit(f"strat#{seed}"), *[F.col(c) for c in key_cols]
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
+        md5_long(
+            F.concat_ws("#", F.lit(f"strat#{seed}"), *[F.col(c) for c in key_cols])
+        )
         % 1000000
     )
     cutoff = F.lit(int(round(default_fraction * 1000000)))

@@ -73,10 +73,24 @@ def tokens(col):
     return F.split(col, " ")
 
 
-def word_shingles(col, n: int = 3):
-    """array of distinct word n-grams (space-joined)."""
+def word_shingles(col, n: int = 3, keep_short: bool = True):
+    """array of distinct word n-grams (space-joined).
+
+    ``keep_short=True`` (default): a document with fewer than n tokens
+    contributes ONE undersized shingle (its whole token run) — right for
+    near-dup Jaccard, where two short docs must still be comparable.
+    ``keep_short=False``: strict n-gram semantics — short docs yield an
+    EMPTY array, matching the GPT-3/PaLM decontamination rule under
+    which a 5-word doc has zero 13-grams (the undersized pseudo-shingle
+    would flag clean training docs that merely share a short doc's
+    prefix)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    if keep_short:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    else:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
@@ -107,13 +121,18 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     """
     eval_grams = (
         eval_docs.select(
-            F.explode(word_shingles(F.col(eval_text_col), n)).alias("g")
+            F.explode(
+                word_shingles(F.col(eval_text_col), n, keep_short=False)
+            ).alias("g")
         )
         .distinct()
-        # cached: the guard count below and the broadcast join both
-        # consume this aggregation — without the cache the eval-side
-        # explode+distinct runs as two full jobs
-        .cache()
+        # materialized ONCE (the guard count below and the broadcast join
+        # both consume this aggregation — recomputing would run the
+        # eval-side explode+distinct as two full jobs); localCheckpoint
+        # over cache() so the blocks free themselves when the frame is
+        # garbage-collected instead of pinning storage until an explicit
+        # unpersist nobody can call on a returned plan
+        .localCheckpoint(eager=True)
     )
     n_eval = eval_grams.count()
     if n_eval > max_eval_grams:
@@ -124,7 +143,7 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
         )
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        F.explode(word_shingles(F.col(text_col), n, keep_short=False)).alias("g"),
     )
     hits = (
         doc_grams.join(F.broadcast(eval_grams), on="g")
@@ -415,6 +434,12 @@ def simhash(docs: DataFrame, n_bits: int = 16,
     Bit b of a token = parity of hex digit b of md5(token); fingerprint
     bit b = 1 iff the +1/-1 vote over distinct tokens is positive.
     """
+    if n_bits > 32:
+        # one hex digit per bit: past 32 the substring is '' and
+        # instr('', ...) silently votes every high bit to 0 — identical
+        # high bands for ALL docs (O(N²) bucket blowup) and understated
+        # Hamming distances. simhash_np already raises; mirror it.
+        raise ValueError("md5 has 32 hex digits; use simhash_wide for n_bits > 32")
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),

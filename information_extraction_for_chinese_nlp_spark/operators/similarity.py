@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_long
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -35,7 +37,13 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (a plain
+    divide would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    the moment one all-zero embedding — an embedding-service failure
+    row — reaches the operator). Consumers treat NULL as 'never
+    matches': threshold predicates reject it and the top-k operators
+    filter it before ranking."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -48,7 +56,8 @@ def brute_force_topk(
     """-> (qid, nid, sim, rank): exact top-k cosine neighbors per query.
 
     queries is broadcast (small); ties break on neighbor id so ranking is
-    total. Self-matches are excluded.
+    total. Self-matches are excluded; zero-norm vectors (NULL cosine)
+    never match on either side.
     """
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
@@ -62,6 +71,7 @@ def brute_force_topk(
             "nid",
             F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"),
         )
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -89,13 +99,27 @@ def matmul_topk(
     import numpy as np
     import pandas as pd
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
     if not q_rows:
         return queries.sparkSession.createDataFrame(
-            [], "qid long, nid long, sim double, rank int"
+            [], f"qid {id_type}, nid {id_type}, sim double, rank int"
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # ids stay native Python values (string/long/... per the schema —
+    # forcing int64 broke the brute_force_topk drop-in contract for
+    # non-long ids); zero-norm queries are dropped like the Catalyst
+    # path's NULL-cosine filter drops them
+    q_pairs = [
+        (r[0], np.asarray(r[1], dtype=np.float64))
+        for r in q_rows
+        if np.linalg.norm(np.asarray(r[1], dtype=np.float64)) > 0
+    ]
+    if not q_pairs:
+        return queries.sparkSession.createDataFrame(
+            [], f"qid {id_type}, nid {id_type}, sim double, rank int"
+        )
+    q_ids = [p[0] for p in q_pairs]
+    q_mat = np.stack([p[1] for p in q_pairs])
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def round_half_up(x, decimals=4):
@@ -110,13 +134,21 @@ def matmul_topk(
 
         pin_worker_threads()
         for pdf in batches:
-            nids = pdf[id_col].to_numpy(dtype=np.int64)
             a = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(a) == 0:
                 yield pd.DataFrame({"qid": [], "nid": [], "sim": []})
                 continue
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            norms = np.linalg.norm(a, axis=1, keepdims=True)
+            # zero-norm corpus rows never match (Catalyst-path parity:
+            # its NULL cosine is filtered before ranking)
+            valid = norms[:, 0] > 0
+            nids = pdf[id_col].to_numpy()[valid]
+            if len(nids) == 0:
+                yield pd.DataFrame({"qid": [], "nid": [], "sim": []})
+                continue
+            a = a[valid] / norms[valid]
             sims = a @ q_mat.T  # [batch, n_q]
+            numeric_ids = np.issubdtype(nids.dtype, np.number)
             out_q, out_n, out_s = [], [], []
             kk = min(k + 1, len(nids))  # +1 absorbs a possible self-match
             for j, qid in enumerate(q_ids):
@@ -125,7 +157,12 @@ def matmul_topk(
                 # uses; cutting local top-k on raw sims can keep the
                 # wrong member of a rounding-band tie
                 col = round_half_up(sims[:, j])
-                order = np.lexsort((nids, -col))
+                if numeric_ids:
+                    order = np.lexsort((nids, -col))
+                else:  # lexsort can't negate object/string keys
+                    order = sorted(
+                        range(len(nids)), key=lambda i: (-col[i], nids[i])
+                    )
                 for i in order[:kk]:
                     if nids[i] != qid:
                         out_q.append(qid)
@@ -134,7 +171,7 @@ def matmul_topk(
             yield pd.DataFrame({"qid": out_q, "nid": out_n, "sim": out_s})
 
     local = corpus.select(id_col, vec_col).mapInPandas(
-        topk_map, "qid long, nid long, sim double"
+        topk_map, f"qid {id_type}, nid {id_type}, sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -146,11 +183,17 @@ def hyperplane_lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
-    """-> (vec_id, bucket): sign pattern against n_planes pseudo-random
-    hyperplanes. Planes are derived deterministically from (seed, plane,
-    dim) via a portable integer mix of md5 — no driver-side randomness,
-    so the same bucketing falls out on any cluster size.
+    """-> (vec_id, *keep, bucket): sign pattern against n_planes
+    pseudo-random hyperplanes. Planes are derived deterministically from
+    (seed, plane, dim) via a portable integer mix of md5 — no
+    driver-side randomness, so the same bucketing falls out on any
+    cluster size. ``keep`` carries extra columns (e.g. the vector)
+    through the SAME projection so callers never need to join this
+    output back to its own input — Spark re-executes the upstream for a
+    self-join's second alias (measured), so that join shape doubles the
+    scan.
     """
     dim = F.size(F.col(vec_col))
     planes = F.transform(
@@ -162,13 +205,7 @@ def hyperplane_lsh_buckets(
                 lambda x, i: x.cast("double")
                 * (
                     (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat_ws("#", F.lit(seed), p, i)), 1, 8
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
+                        md5_long(F.concat_ws("#", F.lit(seed), p, i))
                         % 2001
                         - 1000
                     ).cast("double")
@@ -182,7 +219,11 @@ def hyperplane_lsh_buckets(
     bucket = F.array_join(
         F.transform(planes, lambda d: F.when(d >= 0, "1").otherwise("0")), ""
     )
-    return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep],
+        bucket.alias("bucket"),
+    )
 
 
 def lsh_near_dup_pairs(
@@ -474,14 +515,21 @@ def ann_topk(
     single bucketing pass + one bucket-keyed join — the scale path when
     brute force is too wide. ``max_hamming=0`` is the classic
     single-bucket probe."""
-    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).join(
-        cb.select(F.col("vec_id").alias("nid"), "bucket"), "nid"
+    # vector rides through the bucketing projection (keep=) — joining
+    # the bucket table back to the corpus would re-execute the corpus
+    # scan for the join's second alias AND pay an id-keyed exchange
+    c = hyperplane_lsh_buckets(
+        corpus, n_planes, id_col=id_col, vec_col=vec_col, keep=(vec_col,)
+    ).select(
+        F.col("vec_id").alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
     )
-    qb = hyperplane_lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
     q = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-        .join(qb.select(F.col("vec_id").alias("qid"), "bucket"), "qid")
+        hyperplane_lsh_buckets(
+            queries, n_planes, id_col=id_col, vec_col=vec_col, keep=(vec_col,)
+        )
+        .select(
+            F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+        )
         .withColumn(
             "bucket",
             F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)),
@@ -491,6 +539,7 @@ def ann_topk(
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
+        .filter(F.col("sim").isNotNull())  # zero-norm never matches
         # a neighbor can surface from several probe buckets — dedup
         .groupBy("qid", "nid")
         .agg(F.max("sim").alias("sim"))

@@ -457,10 +457,12 @@ def ngram_jaccard_q(spark, sf_dir):
     "decontaminate",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    -- strict n-grams (greatest(..., 0)): docs with < n tokens have NO
+    -- shingles, mirroring keep_short=False on the Spark side
     sh AS (
       SELECT doc_id,
              unnest(list_distinct(
-               list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+               list_transform(range(1, greatest(len(t) - 7, 0) + 1),
                               i -> array_to_string(list_slice(t, i, i + 7), ' '))
              )) AS g
       FROM toks

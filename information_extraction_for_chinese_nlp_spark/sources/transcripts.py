@@ -124,10 +124,9 @@ def _md5_pick_hash(tag: str, col):
     long — byte-identical in DuckDB (('0x'||substring(md5(...),1,8))::BIGINT),
     so pipelines seeded by it are oracle-checkable end-to-end (xxhash64
     is Spark-specific and would break the driver's DuckDB gate)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(tag + "#"), col.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("long")
+    from ..functions.hashing import md5_long
+
+    return md5_long(F.concat(F.lit(tag + "#"), col.cast("string")))
 
 
 def transcripts_from_documents(documents: DataFrame, seed: int = 42) -> DataFrame:

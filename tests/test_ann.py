@@ -200,3 +200,43 @@ def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
     reloaded = {tuple(r) for r in
                 ivf_search(re_assigned, re_cents, queries, k=3, n_probe=4).collect()}
     assert live == reloaded and len(live) > 0
+
+
+def test_zero_norm_vectors_never_match(spark):
+    """An all-zero embedding (embedding-service failure row) must not
+    crash ANSI-mode division and must be excluded from top-k on BOTH
+    exact paths (Catalyst NULL-cosine filter == numpy mask)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        brute_force_topk,
+        matmul_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    bf = sorted(map(tuple, brute_force_topk(emb, q, k=3).collect()))
+    mm = sorted(map(tuple, matmul_topk(emb, q, k=3).collect()))
+    assert bf == mm
+    assert all(r[1] != 2 for r in bf), "zero-norm corpus row surfaced"
+    # zero-norm QUERY yields no rows instead of crashing
+    zq = emb.filter("vec_id = 2")
+    assert brute_force_topk(emb, zq, k=3).count() == 0
+    assert matmul_topk(emb, zq, k=3).count() == 0
+
+
+def test_matmul_topk_string_ids(spark):
+    """id_col is honored for non-long ids (the scale path must stay a
+    drop-in for brute_force_topk on any id type)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        brute_force_topk,
+        matmul_topk,
+    )
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = emb.filter("vec_id = 'a'")
+    bf = sorted(map(tuple, brute_force_topk(emb, q, k=2).collect()))
+    mm = sorted(map(tuple, matmul_topk(emb, q, k=2).collect()))
+    assert bf == mm and len(bf) == 2

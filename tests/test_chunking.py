@@ -107,3 +107,52 @@ def test_property_reconstruction(n, plen, k, rng):
             assert piece[s:e] == t
             rebuilt.append((cs + s, cs + e, t))
     assert rebuilt == spans
+
+
+def test_span_beyond_content_quarantines_not_drops(spark):
+    """A gold span starting at/after len(content) cannot round-trip:
+    silently dropping it loses the label invisibly — it must raise
+    ChunkDataError (pure fn) and quarantine (UDF), like every data
+    error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.functions.chunking import (
+        ChunkDataError,
+        chunk_content,
+        make_chunk_udf,
+    )
+
+    # start beyond every emitted window -> the unconsumed-span check
+    with pytest.raises(ChunkDataError, match="beyond content"):
+        chunk_content("short", "p", 64, [(70, 72, "xx")])
+    # start inside the window but past the text -> round-trip check
+    with pytest.raises(ChunkDataError, match="round-trip"):
+        chunk_content("short", "p", 64, [(10, 12, "xx")])
+
+    df = spark.createDataFrame([(0, "short", 70, 72)],
+                               "vid long, text string, s int, e int")
+    spans = F.array(F.struct(
+        F.col("s").alias("start"), F.col("e").alias("end"),
+        F.lit("xx").alias("text")))
+    udf = make_chunk_udf(max_seq_len=64)
+    out = df.withColumn("_c", udf(F.col("text"), F.lit(""), spans)).first()
+    assert out._c is None  # routed to quarantine, task alive
+
+
+def test_null_span_fields_quarantine(spark):
+    """NULL start/end inside a span struct (int(None) -> TypeError) is a
+    data error: quarantine, don't kill the task."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.functions.chunking import (
+        make_chunk_udf,
+    )
+
+    df = spark.createDataFrame([(0, "some text here")], "vid long, text string")
+    spans = F.array(F.struct(
+        F.lit(None).cast("int").alias("start"),
+        F.lit(None).cast("int").alias("end"),
+        F.lit("x").alias("text")))
+    udf = make_chunk_udf(max_seq_len=64)
+    assert df.withColumn("_c", udf(F.col("text"), F.lit(""), spans)).first()._c is None

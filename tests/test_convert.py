@@ -199,3 +199,30 @@ def test_sample_stratified_rates_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sample_stratified(docs, {"en": 1.5})
+
+
+def test_empty_annotations_array_yields_empty_spans(spark):
+    """annotations = [] (exported but never annotated) must parse to a
+    doc with empty spans — under Spark 4 ANSI defaults a plain
+    element_at would throw INVALID_ARRAY_INDEX and kill the import."""
+    import json
+
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        parse_labelstudio,
+    )
+
+    rows = [
+        {"id": 1, "data": {"text": "abc"}, "annotations": []},
+        {"id": 2, "data": {"text": "def"},
+         "annotations": [{"result": [
+             {"type": "labels",
+              "value": {"start": 0, "end": 2, "text": "de", "labels": ["L"]}}]}]},
+    ]
+    raw = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+    docs, bad = parse_labelstudio(raw)
+    got = {r.doc_id: r.spans for r in docs.collect()}
+    assert got["1"] == []
+    assert len(got["2"]) == 1
+    assert bad.count() == 0

@@ -120,3 +120,31 @@ def test_dedup_pipeline_no_near_dups_keeps_all_canonicals(spark):
     # disjoint vocab makes every per-seed min differ, so no pair forms.
     kept = sorted(r.doc_id for r in dedup_pipeline(docs).select("doc_id").collect())
     assert kept == [1, 3]
+
+
+def test_simhash_rejects_over_32_bits(spark):
+    """md5 has 32 hex digits: n_bits > 32 would silently vote every high
+    bit to 0 (identical high bands for ALL docs) — must raise like
+    simhash_np does."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import simhash
+
+    with pytest.raises(ValueError, match="simhash_wide"):
+        simhash(_docs(spark), n_bits=64)
+
+
+def test_word_shingles_strict_mode(spark):
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([("one two three",)], "text string")
+    loose = df.select(word_shingles(F.col("text"), 5).alias("s")).first().s
+    strict = df.select(
+        word_shingles(F.col("text"), 5, keep_short=False).alias("s")
+    ).first().s
+    assert loose == ["one two three"]  # undersized pseudo-shingle
+    assert strict == []                # zero 5-grams in a 3-token doc
