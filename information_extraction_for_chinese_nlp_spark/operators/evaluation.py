@@ -122,7 +122,11 @@ def threshold_sweep(
         F.count("*").alias("num_infer"),
         F.count("_g").alias("num_correct"),  # count() skips NULLs
     )
-    label = gold.select(*keys).distinct().agg(F.count("*").alias("num_label"))
+    # RAW gold rows, matching eval_counts' num_label exactly — a
+    # distinct here would tune the threshold against a different recall
+    # denominator than the final reported eval whenever gold carries
+    # duplicate rows (merged annotation exports do)
+    label = gold.agg(F.count("*").alias("num_label"))
 
     out = (
         grid.join(counts, on="threshold", how="left")

@@ -165,8 +165,13 @@ def feature_digest(col):
     """Stable scalar fingerprint of an array<float> column (md5 over
     6-decimal renderings) — arrays can't cross the driver's pandas
     canonicalizer, so gate projections use this instead of the raw
-    vector."""
-    return F.md5(F.concat_ws(",", F.transform(col, lambda x: F.format_number(x, 6))))
+    vector. format_string, NOT format_number: the latter inserts comma
+    thousands-separators that collide with the comma join separator
+    (digest of [1234.5, 6.0] would be ambiguous) and no plain printf
+    oracle could reproduce the grouping."""
+    return F.md5(
+        F.concat_ws(",", F.transform(col, lambda x: F.format_string("%.6f", x)))
+    )
 
 
 def make_frame_sample_map(every_ms: int = 1000, codec: str = "fake"):
@@ -183,6 +188,11 @@ def make_frame_sample_map(every_ms: int = 1000, codec: str = "fake"):
             for asset_id, data, duration in zip(
                 pdf["asset_id"], pdf["data"], pdf["duration_ms"]
             ):
+                if duration is None or pd.isna(duration):
+                    # nullable per ASSETS schema; Arrow renders the int
+                    # column as float64 NaN — int(NaN) would kill the
+                    # task. No duration -> no sampled frames.
+                    continue
                 blob = bytes(data) if data is not None else b""
                 for i, ts in enumerate(range(0, int(duration), every_ms)):
                     # frame hash keyed by payload hex + 8-hex-digit ts

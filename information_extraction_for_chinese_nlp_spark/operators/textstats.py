@@ -14,12 +14,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+ZH_STOPCHARS = ["的", "是", "了"]
 
-# tiny marker-word profiles for the language-ID heuristic
+# marker profiles for the language-ID heuristic: whitespace-token match
+# for space-delimited languages, per-CHARACTER occurrence counting for
+# CJK — real Chinese running text has no whitespace token boundaries, so
+# a token-equality check could never fire on it.
 LANG_MARKERS = {
     "en": ["the", "a", "of"],
-    "zh": ["的", "是", "了"],
+    "zh": ZH_STOPCHARS,
 }
+
+# CJK unified ideographs (the zh analysis unit: one char ≈ one token)
+_CJK = "[一-鿿]"
 
 
 def token_count(col):
@@ -29,24 +36,44 @@ def token_count(col):
     )
 
 
+def _char_occurrences(col, ch: str):
+    """Occurrences of a single character (length delta after removal)."""
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
 def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """-> per-doc (n_chars, n_tokens, avg_token_len, stopword_ratio,
-    punct_ratio, quality_score)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tokens = token_count(F.col(text_col))
+    punct_ratio, quality_score).
+
+    CJK-aware: each CJK character counts as one token unit (running
+    Chinese text has no whitespace boundaries — whitespace counting
+    alone scores every zh document as ~1 token and a punct_ratio of
+    ~1.0, so a --min-quality filter would silently drop the entire
+    Chinese corpus), CJK chars are word chars for the punct ratio, and
+    the zh stop-CHARACTERS 的/是/了 count toward stopword density like
+    the English stop tokens do.
+    """
+    text = F.col(text_col)
+    # CJK chars replaced by a space so remaining Latin tokens still split
+    stripped = F.regexp_replace(text, _CJK, " ")
+    n_cjk = F.length(text) - F.length(F.regexp_replace(text, _CJK, ""))
+    toks = F.split(F.trim(stripped), r"\s+")
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
-    n_punct = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    for ch in ZH_STOPCHARS:
+        n_stop = n_stop + _char_occurrences(text, ch)
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s" + _CJK[1:-1] + "]", "")
     )
+    n_tokens = token_count(stripped) + n_cjk
     stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(0.0)
     punct_ratio = F.when(
-        F.length(text_col) > 0, n_punct / F.length(text_col).cast("double")
+        F.length(text) > 0, n_punct / F.length(text).cast("double")
     ).otherwise(0.0)
     avg_tok = F.when(
         n_tokens > 0,
-        F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+        F.length(F.regexp_replace(text, r"\s+", ""))
         / n_tokens.cast("double"),
     ).otherwise(0.0)
     # simple composite: long-enough docs with moderate stopword density
@@ -57,8 +84,8 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
         F.round(avg_tok, 6).alias("avg_token_len"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -67,14 +94,26 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: argmax over per-language marker hit rates;
-    'und' when nothing matches."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    """Marker language ID: argmax over per-language marker OCCURRENCE
+    counts — whitespace-token equality for en, per-CHARACTER counting
+    for zh (running Chinese text has no token boundaries, so a
+    token-equality check could never fire on real zh input); 'und' when
+    nothing matches. Ties break toward the lexicographically larger
+    language code (zh over en), same as the oracle."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
     scores = []
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        hits = F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        if lang == "zh":
+            hits = F.lit(0)
+            for ch in markers:
+                hits = hits + _char_occurrences(text, ch)
+        else:
+            arr = F.array(*[F.lit(w) for w in markers])
+            hits = F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+        scores.append(
+            F.struct(hits.cast("int").alias("hits"), F.lit(lang).alias("lang"))
+        )
     best = F.array_max(F.array(*scores))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -157,11 +196,24 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
     out = F.col(text_col)
     for name, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, f"<{name}>")
+
+    def n_placeholders(col):
+        return F.size(
+            F.regexp_extract_all(col, F.lit("<(EMAIL|PHONE|IDNUM)>"), F.lit(0))
+        )
+
+    # AFTER − BEFORE: a doc already carrying literal placeholder tokens
+    # (re-scrubbed corpus, quoted placeholder) must report only the
+    # redactions THIS pass made, or a drop-PII-dense filter discards
+    # clean documents on the second pass.
     redacted = docs.select(
-        F.col(id_col).alias("doc_id"), out.alias("text")
+        F.col(id_col).alias("doc_id"),
+        out.alias("text"),
+        (n_placeholders(out) - n_placeholders(F.col(text_col)))
+        .cast("long")
+        .alias("n_redactions"),
     )
-    n = F.size(F.regexp_extract_all(F.col("text"), F.lit("<(EMAIL|PHONE|IDNUM)>"), F.lit(0)))
-    return redacted.withColumn("n_redactions", n.cast("long"))
+    return redacted
 
 
 def repetition_features(docs: DataFrame, id_col: str = "doc_id",
@@ -191,7 +243,10 @@ def repetition_features(docs: DataFrame, id_col: str = "doc_id",
     runs = F.regexp_extract_all(F.col(text_col), F.lit(r"(.)\1*"), F.lit(0))
     char_run_max = F.when(
         F.length(F.col(text_col)) > 0,
-        F.array_max(F.transform(runs, F.length)),
+        # coalesce: '.' never matches \n, so a newline-only text has NO
+        # runs and array_max(empty) is NULL — which a downstream
+        # `char_run_max <= k` filter would silently drop
+        F.coalesce(F.array_max(F.transform(runs, F.length)), F.lit(0)),
     ).otherwise(0)
 
     proj = docs.select(

@@ -717,16 +717,28 @@ def ann_topk_q(spark, sf_dir):
 @register(
     "quality_features",
     r"""
-    WITH base AS (
+    WITH cjk AS (
       SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                           w -> list_contains(['the','a','of','and','to','in','is'], w)))
-                  END AS n_stop,
-             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+             regexp_replace(text, '[一-鿿]', ' ', 'g') AS stripped,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+               AS n_cjk
       FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text,
+             (CASE WHEN length(trim(stripped)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(stripped), '\s+')) END)
+             + n_cjk AS n_tokens,
+             (CASE WHEN length(trim(stripped)) = 0 THEN 0
+                   ELSE len(list_filter(regexp_split_to_array(trim(stripped), '\s+'),
+                            w -> list_contains(['the','a','of','and','to','in','is'], w)))
+                   END)
+             + (length(text) - length(replace(text, '的', '')))
+             + (length(text) - length(replace(text, '是', '')))
+             + (length(text) - length(replace(text, '了', ''))) AS n_stop,
+             length(text) - length(regexp_replace(text, '[^\w\s一-鿿]', '', 'g'))
+               AS n_punct
+      FROM cjk
     ),
     feat AS (
       SELECT doc_id,
@@ -772,9 +784,10 @@ def quality_features_q(spark, sf_dir):
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                            w -> list_contains(['the','a','of'], w))) END AS en_hits,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                           w -> list_contains(['的','是','了'], w))) END AS zh_hits
+             -- zh: per-CHARACTER occurrences (no token boundaries in zh)
+             (length(text) - length(replace(text, '的', '')))
+             + (length(text) - length(replace(text, '是', '')))
+             + (length(text) - length(replace(text, '了', ''))) AS zh_hits
       FROM documents
     )
     SELECT doc_id,
@@ -917,6 +930,10 @@ _PII_DOCS = [
     # excludes \n) must report 3, not the merged 5 — forces the oracle
     # onto the per-line semantics
     (6, "zz\nzzz straddle"),
+    # newline-only text: zero runs -> char_run_max must be 0, not NULL
+    (7, "\n\n"),
+    # pre-existing placeholder: re-scrub must report 0 redactions
+    (8, "quoted <EMAIL> placeholder stays"),
 ]
 
 
@@ -934,7 +951,7 @@ def _pii_df(spark):
     f"""
     WITH d AS (SELECT * FROM {_pii_values()}),
     red AS (
-      SELECT doc_id,
+      SELECT doc_id, text AS orig,
              regexp_replace(
                regexp_replace(
                  regexp_replace(text,
@@ -944,8 +961,11 @@ def _pii_df(spark):
                '\\+?[0-9][0-9 -]{{7,14}}[0-9]', '<PHONE>', 'g') AS text
       FROM d
     )
+    -- AFTER − BEFORE: pre-existing literal placeholders are not
+    -- redactions of this pass
     SELECT doc_id, text,
            CAST(len(regexp_extract_all(text, '<(EMAIL|PHONE|IDNUM)>'))
+                - len(regexp_extract_all(orig, '<(EMAIL|PHONE|IDNUM)>'))
                 AS BIGINT) AS n_redactions
     FROM red
     """,

@@ -125,6 +125,16 @@ class TableIO:
             # append (ResumableRunner only ever appends) — append to a
             # missing table means create-with-contents.
             if mode == "overwrite" or not self.spark.catalog.tableExists(full):
+                if partition_by:
+                    # table creation is the only point Iceberg takes a
+                    # partition spec; dropping it here would silently
+                    # create an unpartitioned table (no pruning) while
+                    # the parquet branch honors the same argument
+                    from pyspark.sql import functions as F
+
+                    writer = writer.partitionedBy(
+                        *[F.col(c) for c in partition_by]
+                    )
                 writer.createOrReplace()
             else:
                 writer.append()
@@ -136,10 +146,22 @@ class TableIO:
         w.parquet(path)
         m = self._manifest()
         snaps = m.setdefault(table, [])
+        replaced = []
         if mode == "overwrite":
+            replaced = [s["path"] for s in snaps]
             snaps.clear()
         snaps.append({"snapshot_id": snapshot_id, "path": path})
         self._save_manifest(m)
+        if replaced:
+            # delete superseded snapshot dirs AFTER the manifest commit
+            # (crash between the two leaves an unreferenced dir, never a
+            # manifest entry pointing at deleted files); without this an
+            # overwrite-per-run workload grows the warehouse unboundedly
+            import shutil
+
+            for p in replaced:
+                if p != path:
+                    shutil.rmtree(p, ignore_errors=True)
         return snapshot_id
 
     def read(self, table: str) -> DataFrame:
@@ -232,12 +254,23 @@ class TableIO:
         if orphans:
             m[table] = [s for s in snaps if s["snapshot_id"] in acked_ids]
             self._save_manifest(m)
+            # manifest entry AND the files: pruned snapshots must not
+            # accumulate readable orphan parquet directories forever
+            # (delete AFTER the manifest commit — a crash between the
+            # two leaves an unreferenced dir, never a dangling manifest
+            # entry pointing at deleted files)
+            import shutil
+
+            for s in orphans:
+                shutil.rmtree(s["path"], ignore_errors=True)
         return len(orphans)
 
     def count_snapshot_rows(self, table: str, snapshot_id: str,
-                            stamp_col: str | None = None) -> int:
+                            stamp_col: str | None = "snapshot_id") -> int:
         """Rows belonging to one snapshot — file-addressed in parquet
-        mode, stamp-column-addressed in Iceberg mode."""
+        mode, stamp-column-addressed in Iceberg mode (``stamp_col``
+        defaults to the same provenance column ``prune_unacked`` uses,
+        so the default signature works in both modes)."""
         if self.use_iceberg:  # pragma: no cover - no Iceberg jar here
             from pyspark.sql import functions as F
 
