@@ -93,11 +93,14 @@ from information_extraction_for_chinese_nlp_spark.operators.similarity import an
 emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 q = ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_planes=6, max_hamming=1)
 sections.append(("ann_topk (multiprobe LSH)", plan_of(q), """
-What to read: the corpus is bucketed once (projection over the scan);
-the query side explodes to its Hamming-radius probe codes and
-broadcasts (BroadcastHashJoin on bucket) — the 100 TB corpus never
-shuffles for candidate generation; only the per-query top-k window
-runs on the (output-bound) candidate set.
+What to read: exactly ONE corpus Scan — the bucket code is computed in
+the same projection that carries the vector (keep=), so there is no
+id-keyed join of the bucket table back to the corpus (the old shape
+re-executed the corpus scan for the self-join's second alias). The
+query side explodes to its Hamming-radius probe codes and broadcasts
+(BroadcastHashJoin on bucket) — the 100 TB corpus never shuffles for
+candidate generation; only the per-query top-k window runs on the
+(output-bound) candidate set.
 """))
 
 from information_extraction_for_chinese_nlp_spark.operators.similarity import matmul_topk
