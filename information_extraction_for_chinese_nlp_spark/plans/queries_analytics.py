@@ -177,14 +177,18 @@ def region_revenue(spark, sf_dir):
 )
 def dedup_keep(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    # NULL-safe sentinel: the oracle's GROUP BY collapses md5(NULL) rows
+    # into ONE group with one keeper, but an equi-join on a NULL hash
+    # matches nothing, so raw md5 would keep every NULL-text doc
+    h = F.coalesce(F.md5("text"), F.lit("<null>"))
     dups = (
-        docs.groupBy(F.md5("text").alias("h"))
+        docs.groupBy(h.alias("h"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .select("h", "keep_id")
     )
     # drop rows whose text hash is duplicated AND which are not the keeper
-    with_h = docs.withColumn("h", F.md5("text"))
+    with_h = docs.withColumn("h", h)
     losers = with_h.join(F.broadcast(dups), on="h").filter(
         F.col("doc_id") != F.col("keep_id")
     ).select("doc_id")

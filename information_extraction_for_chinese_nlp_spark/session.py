@@ -48,7 +48,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Deterministic session timezone so ts math is stable everywhere.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # normalized: the conf is strictly boolean — a raw SPARK_UI=1
+        # would crash getOrCreate with IllegalArgumentException
+        .config(
+            "spark.ui.enabled",
+            str(
+                os.environ.get("SPARK_UI", "false").strip().lower()
+                in ("1", "true", "yes", "on")
+            ).lower(),
+        )
         # local mode puts every reducer's collect_list buffer in one heap;
         # an undersized heap turns the assembly stage into GC thrash
         # (measured: 3-5x wall-time outliers at local[32] with 8g).

@@ -113,6 +113,15 @@ class ResumableRunner:
     def bucket_col(self):
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
 
+    def reset(self) -> None:
+        """Truncate the watermark table — REQUIRED after the output table
+        is rebuilt outside the runner (e.g. a non-resume overwrite):
+        stale acks make the next resume run (a) prune the fresh snapshot
+        as an orphan, destroying it, and (b) treat every bucket as done,
+        so nothing re-runs and reads fail on an empty manifest."""
+        empty = self.spark.createDataFrame([], WATERMARK_SCHEMA)
+        self.io.write(empty, self.wm_table, mode="overwrite")
+
     def pending(self, df: DataFrame) -> DataFrame:
         """Input minus completed buckets, via LEFT ANTI join on bucket.
         Returns the INPUT schema (the internal bucket column is dropped,

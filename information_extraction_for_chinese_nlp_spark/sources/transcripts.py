@@ -101,15 +101,20 @@ def synth_transcripts(
         F.lit("　"),
     )
 
-    role = _pick(roles, F.abs(h2))
+    # _pick pmods its hash, so abs() adds nothing and would ANSI-throw on
+    # Long.MIN_VALUE
+    role = _pick(roles, h2)
     return turns.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("conv_n").cast("string"), 8, "0")).alias(
+        # 13-digit pad: Spark lpad TRUNCATES longer strings, so an
+        # 8-wide pad silently collides conv ids past 10^8 conversations
+        # — this generator is documented to reach ~10^11 on a cluster
+        F.concat(F.lit("conv-"), F.lpad(F.col("conv_n").cast("string"), 13, "0")).alias(
             "conv_id"
         ),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
-        F.when(role == "tool", F.concat(F.lit("tool_"), F.pmod(F.abs(h3), 5).cast("string")))
+        F.when(role == "tool", F.concat(F.lit("tool_"), F.pmod(h3, 5).cast("string")))
         .otherwise(F.lit(None).cast("string"))
         .alias("tool"),
         (

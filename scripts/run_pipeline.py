@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# spark-submit/py puts scripts/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -70,16 +75,22 @@ def main() -> None:
         return extract_triples(df, max_seq_len=args.max_seq_len,
                                threshold=args.threshold)
 
+    runner = ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets)
     if args.resume:
-        runner = ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets)
         n_edges = runner.run(transcripts, process,
                              buckets_per_batch=max(args.n_buckets // 8, 1))
         edges = io.read("edges")
+        edges_total = edges.count()
     else:
         edges = process(transcripts)
         io.write(edges, "edges", mode="overwrite")
+        # the overwrite invalidated any previous resume lineage: stale
+        # acks would make the NEXT --resume run prune this fresh
+        # snapshot as an orphan and skip every bucket
+        runner.reset()
         edges = io.read("edges")
         n_edges = edges.count()
+        edges_total = n_edges  # table was just overwritten: total == written
 
     vertices, canonical_edges = build_graph(edges)
     io.write(vertices, "vertices", mode="overwrite")
@@ -87,14 +98,11 @@ def main() -> None:
 
     print(json.dumps({
         "edges": n_edges,  # rows written by THIS run (0 on a no-op resume)
-        "edges_total": edges.count(),
+        "edges_total": edges_total,
         "vertices": io.read("vertices").count(),
         "canonical_edges": io.read("canonical_edges").count(),
         "wall_sec": round(time.time() - t0, 2),
-        "resume_metrics": (
-            ResumableRunner(spark, io, "edges", n_buckets=args.n_buckets).metrics()
-            if args.resume else None
-        ),
+        "resume_metrics": runner.metrics() if args.resume else None,
     }))
     spark.stop()
 

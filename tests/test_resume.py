@@ -153,3 +153,38 @@ def test_runner_metrics_surface(spark, tmp_path):
     # completed_at ordering is the lineage timeline
     times = [s["completed_at"] for s in m["snapshots"]]
     assert times == sorted(times)
+
+
+def test_reset_after_external_overwrite(spark, tmp_path):
+    """A non-resume overwrite of the output table invalidates the
+    watermark lineage; without reset() the next resume run prunes the
+    fresh snapshot as an orphan (destroying it) and skips every bucket."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.sources.catalog import TableIO
+    from information_extraction_for_chinese_nlp_spark.sources.checkpoint import (
+        ResumableRunner,
+    )
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    data = spark.range(40).select(
+        F.concat(F.lit("c"), "id").alias("conv_id"), F.col("id").alias("v")
+    )
+    runner = ResumableRunner(spark, io, "out", n_buckets=4)
+    runner.run(data, lambda df: df)
+    assert io.read("out").count() == 40
+
+    # external rebuild outside the runner + reset
+    io.write(data.filter("v < 10"), "out", mode="overwrite",
+             stamp_snapshot_col="snapshot_id")
+    runner.reset()
+    assert runner.done_buckets() == set()
+    # a fresh resume run prunes the un-acked external snapshot and
+    # RE-DERIVES the whole table — a consistent 40-row end state, not
+    # the pre-reset failure mode (fresh data destroyed, zero buckets
+    # re-run, read crashing on an empty manifest)
+    n = ResumableRunner(spark, io, "out", n_buckets=4).run(data, lambda df: df)
+    assert n == 40
+    out = io.read("out")
+    assert out.count() == 40
+    assert out.select("conv_id").distinct().count() == 40

@@ -19,7 +19,7 @@ def test_hot_conversation_assembles_in_order(spark):
         spark, n_convs=21, turns_per_conv=5,
         long_conv_every=21, long_conv_turns=20000,
     ).cache()
-    hot_id = "conv-00000000"
+    hot_id = "conv-0000000000000"
     hot = assemble_turns(t.filter(F.col("conv_id") == hot_id))
     row = hot.first()
     assert row.n_turns == 20000
@@ -44,12 +44,12 @@ def test_extraction_on_skewed_input_matches_per_doc(spark):
         long_conv_every=21, long_conv_turns=20000,
     ).cache()
     edges = extract_triples(t, max_seq_len=256).toPandas()
-    hot = edges[edges.subj == "conv-00000000"]
+    hot = edges[edges.subj == "conv-0000000000000"]
     # the hot conversation carries ~1/3 mention density over 20k turns;
     # its spans must round-trip against the assembled text
     assert len(hot) > 100
     doc_text = assemble_turns(
-        t.filter(F.col("conv_id") == "conv-00000000")
+        t.filter(F.col("conv_id") == "conv-0000000000000")
     ).first().text
     from information_extraction_for_chinese_nlp_spark.functions.text import scrub_text
 
