@@ -811,12 +811,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    out = inter.withColumn(
-        "jac",
-        F.round(
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-            6,
-        ),
+    raw_jac = (
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
     )
-    return out.filter(F.col("jac") >= threshold).select("doc_a", "doc_b", "jac")
+    # filter on the RAW ratio, round only for output: the oracle
+    # thresholds unrounded, and a pair at jac ∈ [threshold−5e-7,
+    # threshold) would round up across the cut and diverge
+    return (
+        inter.filter(raw_jac >= threshold)
+        .select("doc_a", "doc_b", F.round(raw_jac, 6).alias("jac"))
+    )

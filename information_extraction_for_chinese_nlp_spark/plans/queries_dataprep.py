@@ -200,7 +200,10 @@ def dedup_pipeline_q(spark, sf_dir):
         docs.filter(F.col("doc_id") % 50 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    out = dedup_pipeline(docs.unionByName(clones), n_bands=2, rows_per_band=2)
+    # max_bucket=None: the oracle models NO cap; the gate must stay
+    # bit-equal to it at any scale factor (same pin as minhash_lsh_pairs)
+    out = dedup_pipeline(docs.unionByName(clones), n_bands=2, rows_per_band=2,
+                         max_bucket=None)
     return out.select("doc_id")
 
 
@@ -679,10 +682,15 @@ def token_counts(spark, sf_dir):
     toks = F.when(
         F.length(F.trim("text")) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
-    bpeish = F.aggregate(
-        F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0)),
+    # coalesce mirrors the oracle's NULL-text handling (aggregate over a
+    # NULL array is NULL in Spark; the SQL side coalesces to 0)
+    bpeish = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
     )
     return docs.select(
         "doc_id",

@@ -334,7 +334,9 @@ def entity_link_embedding_q(spark, sf_dir):
         "alias string, canonical_id string, block_key string, "
         "embedding array<double>",
     )
-    return link_entities(mentions, aliases, scorer="embedding")
+    # threshold pinned: the oracle hardcodes score >= 0.5 — inheriting
+    # the operator default would silently desynchronize if it's retuned
+    return link_entities(mentions, aliases, scorer="embedding", threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -854,6 +856,13 @@ def frame_sampling(spark, sf_dir):
     )
 
 
+# ONE alias per block and unique money surfaces per vid BY CONSTRUCTION:
+# the entity_link_scored / entity_link_tfidf oracles select one row per
+# CANDIDATE (no per-mention argmax aggregation) and key the tfidf term
+# CTEs by mention_id alone — adding a second alias to a block (or a
+# duplicate surface in one verdict) requires reshaping those oracles to
+# GROUP BY mention with arg_max first (entity_link_embedding shows the
+# shape).
 _LINK_ALIASES = [
     ("98,532元", "E1", "醫療費用#98532"),
     ("1,680元", "E2", "醫療費用#1680"),
