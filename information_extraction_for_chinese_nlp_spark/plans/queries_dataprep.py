@@ -31,6 +31,36 @@ def dedup_exact_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _minhash_band_ctes(n_seeds: int, source: str = "documents") -> str:
+    """The shared words→seeded→sigs→band CTE chain (md5 min-hash family,
+    2-row bands) — ONE definition so the hash family cannot silently
+    diverge between the oracles that embed it."""
+    return f"""words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM {source}
+    ),
+    seeded AS (
+      SELECT doc_id, s.seed, w
+      FROM words CROSS JOIN (SELECT unnest(range(0, {n_seeds})) AS seed) s
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, seed // 2 AS band_id,
+             string_agg(minhash, '|' ORDER BY seed) AS band
+      FROM sigs GROUP BY doc_id, band_id
+    )"""
+
+
+_MINHASH_PAIRS_SELECT = """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b USING (band_id, band)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
 @register(
     "minhash_signatures",
     """
@@ -55,28 +85,7 @@ def minhash_signatures_q(spark, sf_dir):
 
 @register(
     "minhash_lsh_pairs",
-    """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
-    ),
-    seeded AS (
-      SELECT doc_id, s.seed, w
-      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
-    ),
-    sigs AS (
-      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
-      FROM seeded GROUP BY doc_id, seed
-    ),
-    band AS (
-      SELECT doc_id, seed // 2 AS band_id,
-             string_agg(minhash, '|' ORDER BY seed) AS band
-      FROM sigs GROUP BY doc_id, band_id
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b USING (band_id, band)
-    WHERE a.doc_id < b.doc_id
-    """,
+    f"WITH {_minhash_band_ctes(4)}{_MINHASH_PAIRS_SELECT}",
 )
 def minhash_lsh_pairs_q(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
@@ -91,28 +100,7 @@ def minhash_lsh_pairs_q(spark, sf_dir):
 
 @register_extra(
     "minhash_vectorized_pairs",
-    """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
-    ),
-    seeded AS (
-      SELECT doc_id, s.seed, w
-      FROM words CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
-    ),
-    sigs AS (
-      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
-      FROM seeded GROUP BY doc_id, seed
-    ),
-    band AS (
-      SELECT doc_id, seed // 2 AS band_id,
-             string_agg(minhash, '|' ORDER BY seed) AS band
-      FROM sigs GROUP BY doc_id, band_id
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b USING (band_id, band)
-    WHERE a.doc_id < b.doc_id
-    """,
+    f"WITH {_minhash_band_ctes(8)}{_MINHASH_PAIRS_SELECT}",
 )
 def minhash_vectorized_pairs_q(spark, sf_dir):
     """The mapInPandas signature path (scale budget b=4×r=2) against the
@@ -138,7 +126,7 @@ def minhash_vectorized_pairs_q(spark, sf_dir):
 
 @register(
     "dedup_pipeline",
-    """
+    f"""
     WITH RECURSIVE
     docs_plus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -151,23 +139,7 @@ def minhash_vectorized_pairs_q(spark, sf_dir):
       SELECT d.doc_id, d.text FROM docs_plus d
       JOIN exact e ON d.doc_id = e.keep_id
     ),
-    words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM canon
-    ),
-    seeded AS (
-      SELECT doc_id, s.seed, w
-      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s
-    ),
-    sigs AS (
-      SELECT doc_id, seed, min(md5(concat(w, '#', seed))) AS minhash
-      FROM seeded GROUP BY doc_id, seed
-    ),
-    band AS (
-      SELECT doc_id, seed // 2 AS band_id,
-             string_agg(minhash, '|' ORDER BY seed) AS band
-      FROM sigs GROUP BY doc_id, band_id
-    ),
+    {_minhash_band_ctes(4, source="canon")},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM band a JOIN band b USING (band_id, band)
@@ -212,10 +184,11 @@ def dedup_pipeline_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "simhash",
-    """
-    WITH words AS (
+def _simhash16_fp_sql() -> str:
+    """The shared 16-bit SimHash fingerprint query (words → per-bit
+    md5-parity votes → packed fingerprint) — ONE definition for the
+    three oracles that embed it."""
+    return """words AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
       FROM documents
     ),
@@ -225,11 +198,19 @@ def dedup_pipeline_q(spark, sf_dir):
                   THEN 1 ELSE -1 END AS vote
       FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
     ),
-    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)"""
+
+
+_SIMHASH16_SELECT = """
     SELECT doc_id,
            CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "simhash",
+    f"WITH {_simhash16_fp_sql()}{_SIMHASH16_SELECT}",
 )
 def simhash_q(spark, sf_dir):
     from ..operators.dedup import simhash
@@ -239,22 +220,7 @@ def simhash_q(spark, sf_dir):
 
 @register_extra(
     "simhash_vectorized",
-    """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, b.bit,
-             CASE WHEN (strpos('0123456789abcdef', substring(md5(w), b.bit + 1, 1)) - 1) % 2 = 1
-                  THEN 1 ELSE -1 END AS vote
-      FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
-    ),
-    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+    f"WITH {_simhash16_fp_sql()}{_SIMHASH16_SELECT}",
 )
 def simhash_vectorized_q(spark, sf_dir):
     """The mapInPandas fingerprint path against the SAME oracle as the
@@ -267,18 +233,8 @@ def simhash_vectorized_q(spark, sf_dir):
 
 @register(
     "simhash_near_pairs",
-    """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, b.bit,
-             CASE WHEN (strpos('0123456789abcdef', substring(md5(w), b.bit + 1, 1)) - 1) % 2 = 1
-                  THEN 1 ELSE -1 END AS vote
-      FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
-    ),
-    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit),
+    f"""
+    WITH {_simhash16_fp_sql()},
     sims AS (
       SELECT doc_id,
              CAST(sum(CASE WHEN v > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash

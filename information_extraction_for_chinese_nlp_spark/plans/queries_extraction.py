@@ -501,15 +501,23 @@ _SWEEP_GOLD = [
 _SWEEP_GRID = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.95)
 
 
+def _sweep_pred_values() -> str:
+    return ", ".join(f"('{d}', '{p}', {s}, {e}, {pr})" for d, p, s, e, pr in _SWEEP_PRED)
+
+
+def _sweep_gold_values() -> str:
+    return ", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)
+
+
 @register(
     "threshold_sweep",
     f"""
     WITH pred AS (
-      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e}, {pr})" for d, p, s, e, pr in _SWEEP_PRED)})
+      SELECT * FROM (VALUES {_sweep_pred_values()})
         AS p(doc_id, prompt, s, e, prob)
     ),
     gold AS (
-      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)})
+      SELECT * FROM (VALUES {_sweep_gold_values()})
         AS g(doc_id, prompt, s, e)
     ),
     grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_GRID)}]) AS threshold),
@@ -570,12 +578,12 @@ def threshold_sweep_q(spark, sf_dir):
     "span_eval_by_class",
     f"""
     WITH pred AS (
-      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e}, {pr})" for d, p, s, e, pr in _SWEEP_PRED)})
+      SELECT * FROM (VALUES {_sweep_pred_values()})
         AS p(doc_id, prompt, s, e, prob)
       WHERE prob > 0.5
     ),
     gold AS (
-      SELECT * FROM (VALUES {", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)})
+      SELECT * FROM (VALUES {_sweep_gold_values()})
         AS g(doc_id, prompt, s, e)
     ),
     correct AS (
@@ -869,6 +877,23 @@ _LINK_ALIASES = [
     ("45,000元", "E3", "醫療費用#45000"),
 ]
 
+# Shared mentions/m/d CTE prefix of the two linking oracles — ONE
+# definition so the mention derivation cannot drift between them.
+_LINK_MENTION_CTES = f"""mentions AS (
+      SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
+      FROM {_verdicts_values()}
+    ),
+    m AS (
+      SELECT concat(vid, '#', mention) AS mention_id,
+             '醫療費用' AS pred, mention AS obj,
+             concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
+      FROM mentions
+    ),
+    d AS (
+      SELECT * FROM (VALUES {", ".join(f"('{a}', '{c}', '{b}')" for a, c, b in _LINK_ALIASES)})
+        AS d(alias, canonical_id, block_key)
+    )"""
+
 
 def _bigrams_sql(col: str) -> str:
     return (
@@ -888,20 +913,7 @@ def _bigrams_multiset_sql(col: str) -> str:
 @register_extra(
     "entity_link_scored",
     f"""
-    WITH mentions AS (
-      SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
-      FROM {_verdicts_values()}
-    ),
-    m AS (
-      SELECT concat(vid, '#', mention) AS mention_id,
-             '醫療費用' AS pred, mention AS obj,
-             concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
-      FROM mentions
-    ),
-    d AS (
-      SELECT * FROM (VALUES {", ".join(f"('{a}', '{c}', '{b}')" for a, c, b in _LINK_ALIASES)})
-        AS d(alias, canonical_id, block_key)
-    ),
+    WITH {_LINK_MENTION_CTES},
     cand AS (
       SELECT m.mention_id, m.pred, m.obj, d.alias, d.canonical_id,
              {_bigrams_sql("m.obj")} AS ga,
@@ -946,20 +958,7 @@ def _link_alias_df(spark):
 @register(
     "entity_link_tfidf",
     f"""
-    WITH mentions AS (
-      SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
-      FROM {_verdicts_values()}
-    ),
-    m AS (
-      SELECT concat(vid, '#', mention) AS mention_id,
-             '醫療費用' AS pred, mention AS obj,
-             concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
-      FROM mentions
-    ),
-    d AS (
-      SELECT * FROM (VALUES {", ".join(f"('{a}', '{c}', '{b}')" for a, c, b in _LINK_ALIASES)})
-        AS d(alias, canonical_id, block_key)
-    ),
+    WITH {_LINK_MENTION_CTES},
     corpus AS (SELECT count(*) AS n FROM d),
     dterms AS (SELECT alias, unnest({_bigrams_multiset_sql("alias")}) AS t FROM d),
     -- sklearn-style smooth idf fitted on the alias corpus
