@@ -40,7 +40,12 @@ def make_tfidf_scorer(aliases: list[str], ngram: int = 2):
     (sklearn-style smooth idf: ln((1+N)/(1+df)) + 1; terms unseen in
     the corpus get df=0 weight). The alias dictionary is small and
     curated by contract, so fitting happens driver-side at plan time —
-    the scorer closure ships to workers with the UDF."""
+    the scorer closure ships to workers with the UDF.
+
+    This is the reference per-pair implementation, kept as the parity
+    oracle for :func:`make_tfidf_batch_scorer` (the vectorized path
+    ``link_entities`` actually runs) — see
+    tests/test_graph.py::test_tfidf_batch_matches_loop."""
     import math
     from collections import Counter
 
@@ -65,6 +70,117 @@ def make_tfidf_scorer(aliases: list[str], ngram: int = 2):
         return dot / (na * nb) if na and nb else 0.0
 
     return score
+
+
+def make_tfidf_batch_scorer(aliases: list[str], ngram: int = 2):
+    """Vectorized TF-IDF cosine over whole Arrow batches.
+
+    Same fit and same scores as :func:`make_tfidf_scorer` (parity is
+    pinned in tests), but the per-batch work that scales with the
+    MENTION side — the 100 TB side — is numpy, not a Python loop over
+    candidate pairs:
+
+    - alias vectors (term-index array, tf·idf weight array, norm) are
+      precomputed ONCE here, driver-side, under the same curated-dict
+      contract that already gates the IDF fit;
+    - per batch, objs and aliases are factorized so weights are built
+      once per DISTINCT surface, not once per pair (a blocked candidate
+      join repeats both sides heavily);
+    - dot products run per distinct alias: its sparse vector is
+      scattered into a reusable dense scratch array over the corpus
+      vocabulary, and the dots against every distinct obj paired with
+      it are one gather-multiply + ``np.add.reduceat`` over the objs'
+      concatenated CSR slices. The Python-level loop count is bounded
+      by the alias dictionary (contract-small), never by the mentions.
+
+    Returns ``score_batch(obj: pd.Series, alias: pd.Series) ->
+    np.ndarray[float64]``.
+    """
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    n_docs = len(aliases)
+    df: Counter = Counter()
+    for a in aliases:
+        df.update(set(_ngrams_py(a, ngram)))
+    default_idf = math.log(1.0 + n_docs) + 1.0
+    vocab = {t: i for i, t in enumerate(df)}
+    idf_arr = np.empty(len(vocab))
+    for t, c in df.items():
+        idf_arr[vocab[t]] = math.log((1.0 + n_docs) / (1.0 + c)) + 1.0
+    V = len(vocab)
+
+    def _vec(s: str):
+        """(sorted term-index array, tf·idf array, oov_sq, norm)."""
+        counts = Counter(_ngrams_py(s, ngram))
+        iv = []
+        oov_sq = 0.0
+        for t, c in counts.items():
+            j = vocab.get(t)
+            if j is None:
+                w = c * default_idf
+                oov_sq += w * w
+            else:
+                iv.append((j, c * idf_arr[j]))
+        iv.sort()
+        idx = np.fromiter((j for j, _ in iv), dtype=np.int64, count=len(iv))
+        val = np.fromiter((w for _, w in iv), dtype=np.float64, count=len(iv))
+        norm = math.sqrt(float(val @ val) + oov_sq)
+        return idx, val, norm
+
+    alias_vecs = {a: _vec(a) for a in set(aliases)}
+
+    def score_batch(obj, alias) -> "np.ndarray":
+        import pandas as pd
+
+        n = len(obj)
+        out = np.zeros(n)
+        if n == 0:
+            return out
+        o_codes, o_uniq = pd.factorize(obj, use_na_sentinel=True)
+        a_codes, a_uniq = pd.factorize(alias, use_na_sentinel=True)
+        o_vecs = [_vec(o) for o in o_uniq]
+        scratch = np.zeros(V)
+        valid = np.flatnonzero((o_codes >= 0) & (a_codes >= 0))
+        if valid.size == 0:
+            return out
+        order = valid[np.argsort(a_codes[valid], kind="stable")]
+        a_sorted = a_codes[order]
+        starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
+        bounds = np.r_[starts, a_sorted.size]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            a = a_uniq[a_sorted[s]]
+            b_idx, b_val, b_norm = alias_vecs.get(a) or _vec(a)
+            if b_norm == 0.0 or b_idx.size == 0:
+                continue
+            scratch[b_idx] = b_val
+            oc_rows = o_codes[rows]
+            uo = np.unique(oc_rows)
+            lens = np.fromiter(
+                (o_vecs[c][0].size for c in uo), dtype=np.int64, count=uo.size
+            )
+            nz = np.flatnonzero(lens)
+            dots = np.zeros(uo.size)
+            if nz.size:
+                cat_idx = np.concatenate([o_vecs[uo[k]][0] for k in nz])
+                cat_val = np.concatenate([o_vecs[uo[k]][1] for k in nz])
+                prod = cat_val * scratch[cat_idx]
+                offs = np.r_[0, np.cumsum(lens[nz])[:-1]]
+                dots[nz] = np.add.reduceat(prod, offs)
+            norms = np.fromiter(
+                (o_vecs[c][2] for c in uo), dtype=np.float64, count=uo.size
+            )
+            denom = norms * b_norm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s_u = np.where(denom > 0.0, dots / denom, 0.0)
+            out[rows] = s_u[np.searchsorted(uo, oc_rows)]
+            scratch[b_idx] = 0.0
+        return out
+
+    return score_batch
 
 
 def block_key_for_mention(pred_col, obj_col):
@@ -119,27 +235,31 @@ def link_entities(
             char_ngrams(F.col("obj"), ngram), char_ngrams(F.col("alias"), ngram)
         )
     elif scorer == "tfidf":
-        distinct_aliases = alias_dict.select("alias").distinct()
-        n_aliases = distinct_aliases.count()
-        if n_aliases > max_tfidf_aliases:
+        # single action: LIMIT cap+1 + collect is both the fit input and
+        # the guard (one scan of the alias side per job — the old shape
+        # burned a separate count() action before collecting)
+        rows = (
+            alias_dict.select("alias")
+            .distinct()
+            .limit(max_tfidf_aliases + 1)
+            .collect()
+        )
+        if len(rows) > max_tfidf_aliases:
             raise ValueError(
-                f"alias dictionary has {n_aliases} distinct aliases, over the "
-                f"tfidf driver-side fitting cap ({max_tfidf_aliases}); this "
+                f"alias dictionary has over {max_tfidf_aliases} distinct "
+                "aliases, past the tfidf driver-side fitting cap; this "
                 "is beyond the small-curated-dict contract — use "
                 "scorer='jaccard' (fully distributed) or raise "
                 "max_tfidf_aliases explicitly"
             )
-        aliases = [r.alias for r in distinct_aliases.collect()]
-        score_fn = make_tfidf_scorer(aliases, ngram)
+        score_fn = make_tfidf_batch_scorer([r.alias for r in rows], ngram)
 
         @F.pandas_udf("double")
         def tfidf_udf(obj: pd.Series, alias: pd.Series) -> pd.Series:
             from ..functions.worker import pin_worker_threads
 
             pin_worker_threads()
-            return pd.Series(
-                [score_fn(o, a) for o, a in zip(obj, alias)], dtype="float64"
-            )
+            return pd.Series(score_fn(obj, alias), dtype="float64")
 
         score_col = tfidf_udf(F.col("obj"), F.col("alias"))
     elif scorer == "embedding":

@@ -83,6 +83,16 @@ class TableIO:
 
     Iceberg when the runtime is present; otherwise parquet subdirs +
     ``_manifest.json`` mapping table -> list of snapshot records.
+
+    Concurrency contract (parquet mode): SINGLE-PROCESS. ``overwrite``
+    and ``prune_unacked`` delete superseded snapshot directories
+    immediately after the manifest commit, so a concurrent reader that
+    resolved paths from the old manifest can hit FileNotFound mid-scan
+    (Spark reads lazily). That matches the pipeline's checkpoint/resume
+    design — one driver owns a warehouse at a time. A shared warehouse
+    needs a real catalog with snapshot isolation (the Iceberg branch:
+    readers pin a snapshot, expired files age out via retention), not
+    this manifest; alternatively defer deletions with a grace window.
     """
 
     def __init__(self, spark: SparkSession, warehouse: str):
@@ -274,5 +284,14 @@ class TableIO:
         if self.use_iceberg:  # pragma: no cover - no Iceberg jar here
             from pyspark.sql import functions as F
 
-            return self.read(table).filter(F.col(stamp_col) == snapshot_id).count()
+            df = self.read(table)
+            if stamp_col is None or stamp_col not in df.columns:
+                raise ValueError(
+                    f"count_snapshot_rows on Iceberg table {table!r} needs a "
+                    f"snapshot-stamp column, but {stamp_col!r} is not in the "
+                    f"table schema ({df.columns}); write() the table with "
+                    f"stamp_snapshot_col={stamp_col!r} or pass the stamp "
+                    "column this table actually carries"
+                )
+            return df.filter(F.col(stamp_col) == snapshot_id).count()
         return self.read_snapshot(table, snapshot_id).count()

@@ -133,12 +133,16 @@ def main(argv: list[str] | None = None) -> dict:
         metrics["n_after_quality"] = docs.count()
 
     if args.scrub_pii:
-        red = scrub_pii(docs, id_col, text_col)
-        docs = (
-            docs.drop(text_col)
-            .join(red.withColumnRenamed("doc_id", id_col), on=id_col)
+        # rename scrub_pii's fixed 'text' output to text_col BEFORE the
+        # join: with --text-col != 'text' on an input that also carries
+        # a literal 'text' column, joining first would produce two
+        # ambiguous 'text' columns
+        red = (
+            scrub_pii(docs, id_col, text_col)
+            .withColumnRenamed("doc_id", id_col)
             .withColumnRenamed("text", text_col)
         )
+        docs = docs.drop(text_col).join(red, on=id_col)
         metrics["n_redactions"] = int(
             docs.agg(F.sum("n_redactions")).first()[0] or 0
         )
@@ -164,4 +168,8 @@ def main(argv: list[str] | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 1)
+    # failures surface as exceptions (non-zero exit via the traceback);
+    # a completed run is success — the old `0 if main() else 1` branch
+    # was dead because main() always returns a non-empty metrics dict
+    main()
+    sys.exit(0)
