@@ -412,7 +412,7 @@ def ngram_jaccard_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "decontaminate",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

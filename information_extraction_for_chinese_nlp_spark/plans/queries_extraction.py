@@ -63,7 +63,7 @@ def _verdicts_values() -> str:
     return f"(VALUES {rows}) AS v(vid, text)"
 
 
-@register(
+@register_extra(
     "money_mentions",
     f"""
     SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
@@ -302,7 +302,7 @@ def _emb_alias_values() -> str:
     return f"(VALUES {rows}) AS a(canonical_id, block_key, e)"
 
 
-@register_extra(
+@register(
     "entity_link_embedding",
     f"""
     WITH cand AS (
@@ -423,7 +423,7 @@ def _cc_new_values() -> str:
     return f"(VALUES {rows}) AS e(src, dst)"
 
 
-@register_extra(
+@register(
     "merge_components",
     f"""
     WITH RECURSIVE

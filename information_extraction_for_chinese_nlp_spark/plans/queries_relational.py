@@ -371,7 +371,7 @@ def error_rate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "props_extract",
     """
     SELECT event_id,
@@ -393,7 +393,7 @@ def props_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "events_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour,
