@@ -102,6 +102,15 @@ def parse_money(money: str) -> int:
             tail_chinese = True
             seen_number = True
         elif ch in _UNITS:
+            if current == 0 and tail_digits == 0 and last_unit and not zero_after_unit:
+                # consecutive unit chars (千千, 五百千): cn2an raises and
+                # the reference routes the surface to the outlier bucket;
+                # accumulating a phantom 1 here would mint a number for
+                # garbage. 零-interleaved forms (兩千零十 = 2010) stay
+                # valid via the zero_after_unit exemption.
+                raise ValueError(
+                    f"unit {ch!r} directly follows a unit in {money!r}"
+                )
             section += (current if current else 1) * _UNITS[ch]
             current = 0
             last_unit = _UNITS[ch]

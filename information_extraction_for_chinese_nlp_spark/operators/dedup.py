@@ -283,7 +283,13 @@ def _cap_buckets(buckets: DataFrame, cap: int | None, observation) -> DataFrame:
     COUNTED, never silent: after the first action on the result,
     ``observation.get`` carries ``dropped_buckets``, ``dropped_ids``
     (ids inside dropped buckets — each would have expanded O(size²)
-    pairs) and ``max_bucket_size``."""
+    pairs), ``max_bucket_size`` and ``p99_bucket_size``.
+
+    max/p99 are the live check on the coarse-keyspace sizing rule (see
+    :func:`simhash_near_pairs`): bucket sizes grow ~N/keyspace on a
+    uniform corpus, but a skewed corpus concentrates mass in few codes —
+    max >> p99 is the signature of that skew, and the cue to either
+    narrow the bands (more bits per band) or turn the cap on."""
     if observation is not None:
         over = (
             F.lit(False) if cap is None else (F.size("ids") > F.lit(cap))
@@ -299,6 +305,9 @@ def _cap_buckets(buckets: DataFrame, cap: int | None, observation) -> DataFrame:
             F.coalesce(F.max(F.size("ids")), F.lit(0)).cast("long").alias(
                 "max_bucket_size"
             ),
+            F.coalesce(
+                F.percentile_approx(F.size("ids"), 0.99), F.lit(0)
+            ).cast("long").alias("p99_bucket_size"),
         )
     if cap is None:
         return buckets
@@ -720,6 +729,22 @@ def simhash_near_pairs(docs: DataFrame, n_bits: int = 16, n_bands: int = 4,
     pigeonhole recall contract. Set it explicitly (with an
     ``observation`` so drops are counted) only when targeting true
     exact-dup clusters — or better, exact-dedup first.
+
+    Sizing rule (corpus size N, target expected bucket size B): per-band
+    keyspace is 2^(n_bits/n_bands), so E[bucket] ≈ N / 2^(n_bits/n_bands)
+    on a near-uniform fingerprint distribution — choose
+
+        n_bands ≤ n_bits / log2(N / B)
+
+    e.g. B=10^4 at N=10^6 needs ≥7 bits/band (16-bit/2-band ok);
+    N=10^9 needs ≥17 bits/band (64-bit, ≤3 bands); N=10^12 needs ≥27
+    bits/band (64-bit, 2 bands — and max_hamming ≤ 1, so exact-dedup
+    and shard first, or move to MinHash banding whose md5 keyspace
+    doesn't bound recall this way). The estimate assumes uniformity;
+    pass an ``observation`` and read ``max_bucket_size`` /
+    ``p99_bucket_size`` after the first action to check it — max >> p99
+    means fingerprint mass is concentrating (templated/boilerplate
+    corpus) and the band width must grow regardless of the formula.
     """
     bpb = n_bits // n_bands
     if n_bands * bpb != n_bits:

@@ -148,3 +148,26 @@ def test_word_shingles_strict_mode(spark):
     ).first().s
     assert loose == ["one two three"]  # undersized pseudo-shingle
     assert strict == []                # zero 5-grams in a 3-token doc
+
+
+def test_simhash_bucket_distribution_observed(spark):
+    """Coarse-keyspace observability (VERDICT r4 task 7): simhash band
+    buckets have no cap by default, so the Observation must surface the
+    size distribution (max + p99) that validates the n_bands sizing rule
+    — a skewed corpus shows up as max >> p99 BEFORE it melts a task."""
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    # 40 near-identical docs (one hot fingerprint) + 20 scattered ones
+    rows = [(i, "the same boilerplate template text body repeated") for i in range(40)]
+    rows += [(100 + i, f"unique-{i} totally different words {i * 7919}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("simhash-dist")
+    simhash_near_pairs(
+        docs, n_bits=16, n_bands=4, max_hamming=3, observation=obs
+    ).collect()
+    m = obs.get
+    assert m["dropped_buckets"] == 0          # no cap by default
+    assert m["max_bucket_size"] >= 40         # the hot template bucket
+    assert 0 < m["p99_bucket_size"] <= m["max_bucket_size"]

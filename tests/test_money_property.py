@@ -74,3 +74,54 @@ def test_roundtrip_mixed(thousands_part, low):
         return
     mixed = DIG[k] + "千" + str(low)
     assert parse_money(mixed) == k * 1000 + low
+
+
+@given(st.integers(1, 9999), st.integers(0, 9999))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_arabic_wan_mixed(hi, low):
+    """1萬2000-style: Arabic section value + 萬 unit + Arabic remainder
+    (the reference's add-zero-for-missing-unit path, positional)."""
+    # multi-digit tails are positional; single-digit Arabic tails also
+    # route positionally (only CHINESE single digits are colloquial)
+    s = f"{hi}萬{low}" if low else f"{hi}萬"
+    assert parse_money(s) == hi * 10000 + low
+
+
+@given(st.integers(1, 9), st.integers(1, 9999), st.integers(1, 9999))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_nested_sections_with_gaps(yi, wan, ones):
+    """Nested 億/萬 sections with explicit zero gaps: 三億零五萬, 二億零三."""
+    n = yi * 10**8 + wan * 10**4 + ones
+    assert parse_money(render(n)) == n
+    # gap variants: zero out the middle / low section
+    n_mid_gap = yi * 10**8 + ones
+    assert parse_money(render(n_mid_gap)) == n_mid_gap
+    n_low_gap = yi * 10**8 + wan * 10**4
+    assert parse_money(render(n_low_gap)) == n_low_gap
+
+
+@given(st.sampled_from(["萬萬", "千千", "五百千", "元", "萬三千萬", "億億"]))
+def test_fail_case_routing(bad):
+    """Malformed repeated-unit / empty-number forms must route to the
+    outlier bucket ('nan'), never crash and never emit a number —
+    parity with the reference's try/except outlier routing
+    (tools/regularize_money_from_csv_results.py error path)."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.functions.money import (
+        _pre_clean,
+    )
+
+    assert normalize_money(bad) == "nan"
+    with pytest.raises(ValueError):
+        parse_money(_pre_clean(bad) or bad)
+
+
+@given(st.integers(1, 999))
+@settings(max_examples=100, deadline=None)
+def test_colloquial_trailing_digit(n):
+    """Speech forms: 兩千五 = 2500 family — single CHINESE trailing digit
+    scales to the next-lower unit across 十/百/千/萬."""
+    d = n % 9 + 1
+    assert parse_money(DIG[d] + "千" + DIG[(d % 9) + 1]) == d * 1000 + ((d % 9) + 1) * 100
+    assert parse_money(DIG[d] + "萬" + DIG[(d % 9) + 1]) == d * 10000 + ((d % 9) + 1) * 1000
