@@ -1,6 +1,8 @@
 """ANN paths: IVF recall vs brute force; LSH bucket determinism;
 multiprobe LSH recall on planted near-duplicates."""
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -240,3 +242,6 @@ def test_matmul_topk_string_ids(spark):
     bf = sorted(map(tuple, brute_force_topk(emb, q, k=2).collect()))
     mm = sorted(map(tuple, matmul_topk(emb, q, k=2).collect()))
     assert bf == mm and len(bf) == 2
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

@@ -1,5 +1,7 @@
 """Co-located bucketed join: correct results AND a shuffle-free plan."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from information_extraction_for_chinese_nlp_spark.sources.bucketing import (
@@ -130,3 +132,6 @@ def test_vectorized_paths_parity_property(spark):
         assert cs == vs
 
     check()
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

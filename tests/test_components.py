@@ -108,3 +108,8 @@ def test_merge_components_cases(spark):
         "p": "p", "q": "p",
         "x": "x", "y": "x",
     }
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+import pytest
+
+pytestmark = pytest.mark.slow

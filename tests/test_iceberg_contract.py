@@ -44,6 +44,10 @@ class _FakeDF:
     def count(self):
         return 7
 
+    # schema surface for count_snapshot_rows' stamp-column guard: the
+    # recorded table carries the default provenance column
+    columns = ["src", "dst", "snapshot_id"]
+
 
 class _FakeRead:
     def __init__(self, calls):
@@ -180,3 +184,18 @@ def test_iceberg_count_snapshot_rows(spark, tmp_path):
     assert fake.calls[0] == ("format", "iceberg")
     assert fake.calls[1] == ("load", "wh.edges")
     assert fake.calls[2][0] == "filter" and "abc" in fake.calls[2][1]
+
+
+def test_iceberg_count_snapshot_rows_missing_stamp_col(spark, tmp_path):
+    """A table written without stamp_snapshot_col must fail with an
+    actionable message, not an opaque unresolved-column error
+    (ADVICE r4: write() defaults stamp_snapshot_col=None, so the
+    default stamp_col='snapshot_id' is not guaranteed to exist)."""
+    import pytest
+
+    fake = _FakeSpark()
+    io = _iceberg_io(tmp_path, fake)
+    with pytest.raises(ValueError, match="stamp_snapshot_col"):
+        io.count_snapshot_rows("edges", "abc", stamp_col="not_there")
+    with pytest.raises(ValueError, match="stamp"):
+        io.count_snapshot_rows("edges", "abc", stamp_col=None)

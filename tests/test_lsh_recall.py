@@ -155,3 +155,8 @@ def test_simhash64_pigeonhole_recall_is_total(spark):
     # past the pigeonhole bound the contract refuses instead of lying
     with pytest.raises(ValueError):
         simhash_near_pairs_wide(docs, n_bands=8, max_hamming=8)
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+import pytest
+
+pytestmark = pytest.mark.slow

@@ -76,3 +76,6 @@ def test_driver_window_holds_every_primary_gate():
     (observed round 3); the registry hard-caps primaries at 50 so no
     gate can silently fall outside the window again."""
     assert len(registry.queries()) <= registry.MAX_PRIMARY
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

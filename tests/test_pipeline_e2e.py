@@ -143,3 +143,6 @@ def test_max_strategy_single_span_per_doc_prompt(spark, transcripts):
     edges = extract_triples(transcripts, max_seq_len=128, strategy="max")
     dup = edges.groupBy("subj", "pred").count().filter("count > 1").count()
     assert dup == 0
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

@@ -188,3 +188,6 @@ def test_reset_after_external_overwrite(spark, tmp_path):
     out = io.read("out")
     assert out.count() == 40
     assert out.select("conv_id").distinct().count() == 40
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

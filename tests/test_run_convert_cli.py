@@ -1,6 +1,8 @@
 """Smoke test for the conversion CLI (scripts/run_convert.py), the
 distributed analog of reference run_convert.py's arg surface."""
 
+import pytest
+
 import json
 import os
 import sys
@@ -101,3 +103,6 @@ def test_split_is_document_granular(spark, tmp_path):
                 assert seen.setdefault(r.doc_id, name) == name, (
                     f"doc {r.doc_id} straddles {seen[r.doc_id]} and {name}"
                 )
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

@@ -2,6 +2,8 @@
 decontaminate → quality filter → PII scrub → stratified sample, with
 per-stage survivor counts."""
 
+import pytest
+
 import os
 import sys
 
@@ -85,3 +87,6 @@ def test_dataprep_cli_sampling_and_exact(spark, tmp_path):
     langs = {r.lang for r in
              spark.read.parquet(os.path.join(save_dir, "docs")).collect()}
     assert langs == {"zh"}
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

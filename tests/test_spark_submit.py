@@ -48,3 +48,6 @@ def test_spark_submit_pyfiles_multi_executor(tmp_path):
     m2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
     assert m2["edges"] == 0  # nothing pending
     assert m2["canonical_edges"] == metrics["edges"]
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

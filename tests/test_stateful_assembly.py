@@ -2,6 +2,8 @@
 conversations split across micro-batches assemble correctly once the
 session gap elapses."""
 
+import pytest
+
 import time
 
 from information_extraction_for_chinese_nlp_spark.schemas import TRANSCRIPTS
@@ -59,3 +61,6 @@ def test_stateful_assembly_across_batches(spark, tmp_path):
         assert got["B"].text == "乙一"
     finally:
         q.stop()
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+pytestmark = pytest.mark.slow

@@ -301,3 +301,8 @@ def test_stream_merge_components_long_ids_and_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_snapshots"):
         stream_merge_components(stream, out, str(tmp_path / "x"),
                                 keep_snapshots=0)
+
+# e2e / streaming / property-heavy: excluded from the fast inner-loop tier
+import pytest
+
+pytestmark = pytest.mark.slow
