@@ -74,6 +74,7 @@ def build_queries(spark):
     )
 
     queries = emb.filter(F.col("vec_id") < 100)
+    cc_state = _cc_setup(spark)
     return {
         "q1_triples": lambda: extract_triples(transcripts).count(),
         # banded LSH (b=2, r=2): same 4-hash budget as round 1, real
@@ -121,6 +122,21 @@ def build_queries(spark):
         # module's one deliberate shuffle (linear in doc length)
         "q6b_repetition": lambda: repetition_features(docs).count(),
         "q7_graph": lambda: _graph_count(spark, docs),
+        # the COMPOSED curation job (dedup -> decontaminate -> quality
+        # -> PII scrub -> stratified sample) as one plan — the 100 TB
+        # story is this composition, not the stages singly (VERDICT r4
+        # task 5); plan audit in PLANS.md
+        "q8_dataprep": lambda: _dataprep_count(spark, docs),
+        # mention-heavy entity linking on the vectorized TF-IDF scorer:
+        # 200k candidate pairs, 2k distinct surfaces — the shape where
+        # per-pair Python used to be the slowest surviving inner loop
+        "q9_linker_tfidf": lambda: _linker_count(spark),
+        # incremental CC vs full recompute on the same union graph: the
+        # fold's wall-time must track the 1% batch, not the accumulated
+        # graph (VERDICT r4 task 6); prev_labels precomputed once in
+        # setup (= the persisted state a real ingest run reads)
+        "q10_cc_full": lambda: _cc_full(spark, cc_state).count(),
+        "q10b_cc_incremental": lambda: _cc_incremental(cc_state).count(),
     }
 
 
@@ -136,6 +152,112 @@ def _graph_count(spark, docs):
     edges = extract_triples(transcripts_from_documents(docs))
     vertices, canonical = build_graph(edges)
     return vertices.count() + canonical.count()
+
+
+def _dataprep_count(spark, docs):
+    """Composed curation pipeline (mirrors scripts/run_dataprep.py):
+    dedup_pipeline -> decontaminate anti-join -> quality filter ->
+    PII scrub -> stratified sample, all ONE lazy plan ended by count.
+    Eval set = every 97th doc (the decontaminate gate's convention)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.convert import (
+        sample_stratified,
+    )
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        decontaminate,
+        dedup_pipeline,
+    )
+    from information_extraction_for_chinese_nlp_spark.operators.textstats import (
+        quality_features,
+        scrub_pii,
+    )
+
+    deduped = dedup_pipeline(docs, n_bands=2, rows_per_band=2, max_bucket=1000)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    flags = decontaminate(deduped, eval_docs, n=8)
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"),
+        on="doc_id", how="left_semi",
+    )
+    q = quality_features(clean).filter(F.col("quality_score") >= 0.2).select("doc_id")
+    good = clean.join(q, on="doc_id", how="left_semi")
+    red = scrub_pii(good)
+    scrubbed = good.drop("text").join(red.select("doc_id", "text"), on="doc_id")
+    out = sample_stratified(scrubbed, {}, strata_col="lang", default_fraction=0.5)
+    return out.count()
+
+
+def _linker_count(spark):
+    """Mention-heavy TF-IDF linking: 200k candidate pairs over 2k
+    distinct money surfaces — the fixture where the old per-pair Python
+    scorer was the slowest surviving inner loop (VERDICT r4 task 1)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    aliases = spark.range(2000).select(
+        F.concat(F.format_string("%d", F.col("id") * 137 + 1000), F.lit("元")).alias("alias"),
+        F.concat(F.lit("E"), F.col("id")).alias("canonical_id"),
+        F.concat(F.lit("醫療費用#"), (F.col("id") * 137 + 1000).cast("string")).alias("block_key"),
+    )
+    mentions = spark.range(200_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("mention_id"),
+        F.lit("醫療費用").alias("pred"),
+        # comma-separated surface of the same value -> same block, the
+        # scorer sees a non-identical but high-overlap surface
+        F.concat(
+            F.format_string("%,d", (F.col("id") % 2000) * 137 + 1000), F.lit("元")
+        ).alias("obj"),
+    )
+    return link_entities(mentions, aliases, scorer="tfidf", threshold=0.3).count()
+
+
+# incremental-CC fixture: 500k nodes in chains of 8 (~437k edges base),
+# 1% batch of cross-chain edges folded in
+CC_NODES = int(os.environ.get("BENCH_CC_NODES", "500000"))
+
+
+def _cc_setup(spark):
+    """Build the accumulated-graph state ONCE (outside the timed
+    queries): base edges, converged labels (what a real ingest run reads
+    from its persisted vertex table), and the 1% new-edge batch."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        connected_components,
+    )
+
+    ids = spark.range(CC_NODES)
+    base = ids.filter((F.col("id") % 8) != 7).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    batch = spark.range(CC_NODES // 100).select(
+        (F.col("id") * 16).alias("src"),
+        (F.col("id") * 16 + 8).alias("dst"),
+    )
+    prev = connected_components(base).localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=True)
+    batch = batch.localCheckpoint(eager=True)
+    return {"base": base, "batch": batch, "prev": prev}
+
+
+def _cc_full(spark, state):
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        connected_components,
+    )
+
+    return connected_components(state["base"].union(state["batch"]))
+
+
+def _cc_incremental(state):
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        merge_components,
+    )
+
+    return merge_components(state["prev"], state["batch"])
 
 
 def n_turns_total() -> int:

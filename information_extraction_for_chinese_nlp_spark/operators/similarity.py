@@ -42,8 +42,37 @@ def cosine(a, b):
     the moment one all-zero embedding — an embedding-service failure
     row — reaches the operator). Consumers treat NULL as 'never
     matches': threshold predicates reject it and the top-k operators
-    filter it before ranking."""
+    filter it before ranking.
+
+    PAIRWISE HOT PATHS MUST NOT USE THIS: it evaluates three interpreted
+    aggregates (dot + two norms) per PAIR, and a filter on the resulting
+    column gets pushdown-substituted so the whole expression runs TWICE
+    per pair (the r4 brute_force_topk regression, found by the r5 quiet
+    re-bench). Normalize each side once with :func:`unit_vectors` and
+    score with a single ``_dot`` instead — per-pair cost drops from
+    3(×2) aggregates to 1."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized (double) form, ONE
+    norm evaluation per row, dropping zero-norm rows (NULL-cosine
+    semantics: they never match anything, so no consumer loses a row it
+    would have kept). The norm lands in a real column via an
+    intermediate projection — referencing the norm EXPRESSION inside the
+    transform lambda would re-evaluate the aggregate per element
+    (Catalyst does not CSE across nested lambdas)."""
+    return (
+        df.withColumn("_nrm", _norm(F.col(vec_col)))
+        .filter(F.col("_nrm") > 0)
+        .withColumn(
+            vec_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ),
+        )
+        .drop("_nrm")
+    )
 
 
 def brute_force_topk(
@@ -56,22 +85,32 @@ def brute_force_topk(
     """-> (qid, nid, sim, rank): exact top-k cosine neighbors per query.
 
     queries is broadcast (small); ties break on neighbor id so ranking is
-    total. Self-matches are excluded; zero-norm vectors (NULL cosine)
-    never match on either side.
+    total. Self-matches are excluded; zero-norm vectors never match on
+    either side (unit_vectors drops them — same rows the old NULL-cosine
+    filter removed, but without re-evaluating the score expression).
+
+    Each side is unit-normalized ONCE (per row), so the per-pair cost is
+    a single interpreted `_dot` — the naive cosine-per-pair shape costs
+    3 aggregates per pair and, with the NULL filter pushdown-substituted
+    into the projection, evaluated them twice (measured 1.8-2x slower at
+    sf0.1; this is the r4 bench regression fixed in r5).
     """
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    q = unit_vectors(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        "qvec",
     )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    c = unit_vectors(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+        "nvec",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"),
+            F.round(_dot(F.col("qvec"), F.col("nvec")), 4).alias("sim"),
         )
-        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -269,9 +308,19 @@ def lsh_near_dup_pairs(
         .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    # unit-normalize each side once; the threshold stays on the RAW dot
+    # (oracle semantics), which costs a second _dot evaluation in the
+    # pushed-down predicate — still 3x cheaper per pair than the old
+    # cosine shape (3 aggregates, also double-evaluated)
+    va = unit_vectors(
+        vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea")),
+        "ea",
+    )
+    vb = unit_vectors(
+        vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")),
+        "eb",
+    )
+    sim = _dot(F.col("ea"), F.col("eb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -418,10 +467,15 @@ def ivf_search(
     else:
         cells = _assign_query_cells(queries, centroids, n_probe, id_col, vec_col)
         q = q.join(cells, on="qid")
+    # per-pair cost: one _dot over unit vectors (zero-norm rows drop at
+    # normalize time; cell assignment above used the raw vectors, which
+    # k-means needs)
+    c = unit_vectors(c, "nvec")
+    q = unit_vectors(q, "qvec")
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
+        .select("qid", "nid", F.round(_dot(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
         .groupBy("qid", "nid")
         .agg(F.max("sim").alias("sim"))
     )
@@ -535,11 +589,17 @@ def ann_topk(
             F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)),
         )
     )
+    # unit-normalize AFTER bucketing (hyperplane signs are
+    # scale-invariant, so the codes are identical); zero-norm rows drop
+    # here — the same rows the old NULL-cosine filter removed — and the
+    # per-pair score is ONE _dot, not a twice-evaluated 3-aggregate
+    # cosine (see unit_vectors)
+    c = unit_vectors(c, "nvec")
+    q = unit_vectors(q, "qvec")
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
-        .filter(F.col("sim").isNotNull())  # zero-norm never matches
+        .select("qid", "nid", F.round(_dot(F.col("qvec"), F.col("nvec")), 4).alias("sim"))
         # a neighbor can surface from several probe buckets — dedup
         .groupBy("qid", "nid")
         .agg(F.max("sim").alias("sim"))
