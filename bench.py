@@ -155,36 +155,23 @@ def _graph_count(spark, docs):
 
 
 def _dataprep_count(spark, docs):
-    """Composed curation pipeline (mirrors scripts/run_dataprep.py):
-    dedup_pipeline -> decontaminate anti-join -> quality filter ->
-    PII scrub -> stratified sample, all ONE lazy plan ended by count.
+    """Composed curation job: dedup -> decontaminate -> quality filter
+    -> PII scrub -> stratified sample as ONE plan via operators.curation
+    (inline expressions + lazy-checkpoint boundaries — the naive
+    join-back composition re-scanned the corpus 60x; see PLANS.md).
     Eval set = every 97th doc (the decontaminate gate's convention)."""
     from pyspark.sql import functions as F
 
-    from information_extraction_for_chinese_nlp_spark.operators.convert import (
-        sample_stratified,
-    )
-    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
-        decontaminate,
-        dedup_pipeline,
-    )
-    from information_extraction_for_chinese_nlp_spark.operators.textstats import (
-        quality_features,
-        scrub_pii,
+    from information_extraction_for_chinese_nlp_spark.operators.curation import (
+        curate,
     )
 
-    deduped = dedup_pipeline(docs, n_bands=2, rows_per_band=2, max_bucket=1000)
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    flags = decontaminate(deduped, eval_docs, n=8)
-    clean = deduped.join(
-        flags.filter(~F.col("contaminated")).select("doc_id"),
-        on="doc_id", how="left_semi",
+    out = curate(
+        docs, eval_docs=eval_docs, decontam_n=8, min_quality=0.2,
+        sample_fractions={}, default_fraction=0.5,
+        n_bands=2, rows_per_band=2, max_bucket=1000,
     )
-    q = quality_features(clean).filter(F.col("quality_score") >= 0.2).select("doc_id")
-    good = clean.join(q, on="doc_id", how="left_semi")
-    red = scrub_pii(good)
-    scrubbed = good.drop("text").join(red.select("doc_id", "text"), on="doc_id")
-    out = sample_stratified(scrubbed, {}, strata_col="lang", default_fraction=0.5)
     return out.count()
 
 

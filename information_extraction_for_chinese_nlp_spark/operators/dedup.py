@@ -37,7 +37,8 @@ def dedup_pipeline(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
                    id_col: str = "doc_id", text_col: str = "text",
                    max_bucket: int | None = 10_000,
                    vectorized: bool = False,
-                   observation=None) -> DataFrame:
+                   observation=None,
+                   checkpoint: bool = False) -> DataFrame:
     """The standard 100 TB dedup recipe as ONE composed plan:
     exact-keep -> MinHash-LSH near-dup pairs -> connected components ->
     LEFT ANTI keep-list. Returns the surviving rows of ``docs``
@@ -57,6 +58,15 @@ def dedup_pipeline(docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2,
         F.col("keep_id").alias(id_col)
     )
     canonical = docs.join(exact_keep, on=id_col, how="left_semi")
+    if checkpoint:
+        # `canonical` is consumed twice (signature pipeline + final anti
+        # join) and Spark re-executes the subtree per reference; a LAZY
+        # localCheckpoint materializes it once at the first action so the
+        # source is scanned twice total (exact-keep agg + canonical
+        # build) instead of per-consumer. Opt-in: it pins executor
+        # memory/disk for the canonical set, which a small composed gate
+        # plan doesn't want but a corpus-scale curation run does.
+        canonical = canonical.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(
         canonical, n_bands, rows_per_band, id_col, text_col,
         max_bucket=max_bucket, vectorized=vectorized,

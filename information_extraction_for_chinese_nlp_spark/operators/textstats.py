@@ -54,7 +54,21 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     the zh stop-CHARACTERS 的/是/了 count toward stopword density like
     the English stop tokens do.
     """
-    text = F.col(text_col)
+    cols = quality_feature_cols(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[v.alias(k) for k, v in cols.items()],
+    )
+
+
+def quality_feature_cols(text) -> dict:
+    """The quality features as pure column EXPRESSIONS over ``text`` —
+    usable inline (``df.filter(quality_feature_cols(col)["quality_score"]
+    >= t)``) so a curation pipeline can quality-filter WITHOUT joining a
+    skinny feature frame back to the corpus (each such join-back makes
+    Spark re-execute the whole upstream subtree for the second
+    reference — the composed-plan scan blowup the q8_dataprep audit
+    caught). ``quality_features`` is this dict applied as a select."""
     # CJK chars replaced by a space so remaining Latin tokens still split
     stripped = F.regexp_replace(text, _CJK, " ")
     n_cjk = F.length(text) - F.length(F.regexp_replace(text, _CJK, ""))
@@ -82,15 +96,14 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         + F.least(stopword_ratio * 5, F.lit(1.0)) * 0.3
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text).alias("n_chars"),
-        n_tokens.cast("int").alias("n_tokens"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(stopword_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality_score"),
-    )
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n_tokens.cast("int"),
+        "avg_token_len": F.round(avg_tok, 6),
+        "stopword_ratio": F.round(stopword_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(quality, 6),
+    }
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -184,6 +197,24 @@ PII_PATTERNS = [
 ]
 
 
+def pii_scrub_col(text):
+    """The PII redaction chain as a pure column expression — usable
+    inline (``df.withColumn(text_col, pii_scrub_col(...))``) so a
+    curation pipeline scrubs WITHOUT joining the skinny (doc_id, text)
+    frame back to the corpus (the join-back doubles upstream
+    execution — see quality_feature_cols)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def _pii_placeholder_count(col):
+    return F.size(
+        F.regexp_extract_all(col, F.lit("<(EMAIL|PHONE|IDNUM)>"), F.lit(0))
+    )
+
+
 def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """-> (doc_id, text, n_redactions): PII redacted with typed
@@ -193,14 +224,8 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
     filter can drop PII-dense documents entirely. The pattern list is a
     pluggable module constant, mirroring the reference's sequential
     scrub-list design (run_infer.py:52-59)."""
-    out = F.col(text_col)
-    for name, pat in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, f"<{name}>")
-
-    def n_placeholders(col):
-        return F.size(
-            F.regexp_extract_all(col, F.lit("<(EMAIL|PHONE|IDNUM)>"), F.lit(0))
-        )
+    out = pii_scrub_col(F.col(text_col))
+    n_placeholders = _pii_placeholder_count
 
     # AFTER − BEFORE: a doc already carrying literal placeholder tokens
     # (re-scrubbed corpus, quoted placeholder) must report only the

@@ -185,6 +185,59 @@ shuffles for the overlap probe; only the tiny per-doc hit counts move,
 and they re-join the id spine via a second broadcast.
 """))
 
+from information_extraction_for_chinese_nlp_spark.operators.curation import curate
+
+q = curate(
+    docs,
+    eval_docs=docs.filter(F.col("doc_id") % 97 == 0).select("text"),
+    min_quality=0.2, sample_fractions={}, default_fraction=0.5,
+    n_bands=2, rows_per_band=2, max_bucket=1000,
+)
+sections.append(("q8_dataprep (composed curation via operators.curation)", plan_of(q), """
+What to read: ZERO parquet scans in this plan — the corpus is read
+exactly twice in total, both INSIDE dedup's checkpointed sub-plan
+(exact-keep aggregation + canonical build), and everything above reads
+the two Scan ExistingRDD checkpoint boundaries. The naive join-back
+composition of the same five stages (each stage computing a skinny
+verdict frame and LEFT-SEMI joining it back) re-executed upstream per
+reference and showed SIXTY corpus scans in this audit — the round-5
+finding that produced operators/curation.py. Quality filter and PII
+scrub are INLINE row-local expressions (quality_feature_cols /
+pii_scrub_col) — Filter/Project, no join; decontaminate's n-gram probe
+broadcasts against the checkpointed dedup output; the stratified
+sample is a pure md5 projection. At a real 100 TB run each
+localCheckpoint boundary becomes a TableIO snapshot write
+(scripts/run_dataprep.py) — same linearity, durable instead of
+executor-local.
+"""))
+
+from information_extraction_for_chinese_nlp_spark.operators.components import (
+    connected_components,
+    merge_components,
+)
+
+_base = spark.range(80_000).filter((F.col("id") % 8) != 7).select(
+    F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+)
+_prev = connected_components(_base).localCheckpoint(eager=True)
+_batch = spark.range(1_000).select(
+    (F.col("id") * 16).alias("src"), (F.col("id") * 16 + 8).alias("dst")
+)
+q = merge_components(_prev, _batch)
+sections.append(("merge_components (incremental CC fold)", plan_of(q), """
+What to read: the iterative CC subtree consumes ONLY the contraction
+graph (one edge per NEW edge, endpoints mapped through prev labels via
+two broadcast-able joins) — the accumulated graph appears exactly
+twice, both times as a NON-iterative single-pass join (the relabel map
+join and the new-node anti-join), reading the converged labels from
+their checkpoint scan. That is the incrementality claim in plan form:
+per-batch cost = CC(batch-sized graph) + two linear joins over the
+label table, never CC(accumulated graph). Benchmarked as
+q10_cc_full vs q10b_cc_incremental (sf-independent synthetic fixture:
+500k-node chain graph, 1% batch) — the fold runs ~4x faster and its
+iterative stages touch only ~5k contraction edges vs 437k.
+"""))
+
 out = ["# PLANS — physical-plan audit (sf0.01, local[8])",
        "",
        "Generated by scripts/audit_plans.py; regenerate after plan-shape",
