@@ -102,15 +102,24 @@ def parse_money(money: str) -> int:
             tail_chinese = True
             seen_number = True
         elif ch in _UNITS:
-            if current == 0 and tail_digits == 0 and last_unit and not zero_after_unit:
-                # consecutive unit chars (千千, 五百千): cn2an raises and
-                # the reference routes the surface to the outlier bucket;
-                # accumulating a phantom 1 here would mint a number for
-                # garbage. 零-interleaved forms (兩千零十 = 2010) stay
-                # valid via the zero_after_unit exemption.
-                raise ValueError(
-                    f"unit {ch!r} directly follows a unit in {money!r}"
-                )
+            if current == 0:
+                # forms where cn2an raises and the reference routes the
+                # surface to the outlier bucket; accumulating a phantom
+                # 1 here would mint a number for garbage that then
+                # collides with genuine amounts under one entity key:
+                if tail_digits > 0:
+                    # explicit zero digits before the unit (0千, 00百)
+                    raise ValueError(f"zero value before unit {ch!r} in {money!r}")
+                if last_unit and not zero_after_unit:
+                    # consecutive unit chars (千千, 五百千)
+                    raise ValueError(f"unit {ch!r} directly follows a unit in {money!r}")
+                if zero_after_unit and (
+                    last_unit == 0 or _UNITS[ch] >= last_unit
+                ):
+                    # leading 零 before a unit (零千), or 零-interleaved
+                    # units that don't DESCEND (一千零千) — the valid
+                    # zero-gap family is strictly descending (兩千零十)
+                    raise ValueError(f"零 before unit {ch!r} in {money!r}")
             section += (current if current else 1) * _UNITS[ch]
             current = 0
             last_unit = _UNITS[ch]

@@ -45,6 +45,7 @@ def curate(
     docs: DataFrame,
     *,
     eval_docs: DataFrame | None = None,
+    eval_text_col: str | None = None,
     decontam_n: int = 8,
     min_quality: float | None = None,
     scrub: bool = True,
@@ -75,7 +76,10 @@ def curate(
         # AND survives as the row spine — materialize it once
         out = out.localCheckpoint(eager=False)
         flags = decontaminate(
-            out, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col
+            out, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col,
+            # default: an eval frame usually shares the corpus schema,
+            # so its text column follows text_col unless named explicitly
+            eval_text_col=eval_text_col or text_col,
         )
         out = out.join(
             flags.filter(~F.col("contaminated")).select(

@@ -132,6 +132,14 @@ def make_tfidf_batch_scorer(aliases: list[str], ngram: int = 2):
 
     alias_vecs = {a: _vec(a) for a in set(aliases)}
 
+    # parity fallback for aliases OUTSIDE the fitted corpus: their OOV
+    # n-grams are not in `vocab`, so the indexed dot would silently
+    # lose OOV-term agreement (obj 'abcd' vs unseen alias 'abcd' must
+    # score 1.0, as the loop scorer does). Unseen aliases are rare by
+    # contract (the fit covers the dict), so those rows take the exact
+    # per-pair path.
+    _loop_score = make_tfidf_scorer(aliases, ngram)
+
     def score_batch(obj, alias) -> "np.ndarray":
         import pandas as pd
 
@@ -141,11 +149,15 @@ def make_tfidf_batch_scorer(aliases: list[str], ngram: int = 2):
             return out
         o_codes, o_uniq = pd.factorize(obj, use_na_sentinel=True)
         a_codes, a_uniq = pd.factorize(alias, use_na_sentinel=True)
-        o_vecs = [_vec(o) for o in o_uniq]
         scratch = np.zeros(V)
         valid = np.flatnonzero((o_codes >= 0) & (a_codes >= 0))
         if valid.size == 0:
             return out
+        # fit once per DISTINCT obj — but only objs that appear in a
+        # scoreable row (an all-null-alias batch pays zero fits)
+        o_vecs = [None] * len(o_uniq)
+        for c in np.unique(o_codes[valid]):
+            o_vecs[c] = _vec(o_uniq[c])
         order = valid[np.argsort(a_codes[valid], kind="stable")]
         a_sorted = a_codes[order]
         starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
@@ -153,7 +165,13 @@ def make_tfidf_batch_scorer(aliases: list[str], ngram: int = 2):
         for s, e in zip(bounds[:-1], bounds[1:]):
             rows = order[s:e]
             a = a_uniq[a_sorted[s]]
-            b_idx, b_val, b_norm = alias_vecs.get(a) or _vec(a)
+            fitted = alias_vecs.get(a)
+            if fitted is None:
+                # out-of-corpus alias: exact per-pair parity path
+                for r in rows:
+                    out[r] = _loop_score(o_uniq[o_codes[r]], a)
+                continue
+            b_idx, b_val, b_norm = fitted
             if b_norm == 0.0 or b_idx.size == 0:
                 continue
             scratch[b_idx] = b_val
@@ -218,8 +236,11 @@ def link_entities(
     forms — rare-n-gram agreement counts more than boilerplate). The
     tfidf path collects the distinct aliases to the driver to fit the
     IDF table and fails fast with a ValueError past
-    ``max_tfidf_aliases`` (count-checked BEFORE collecting) — an
-    alias set that large isn't a curated dictionary; use
+    ``max_tfidf_aliases``. The guard is a single LIMIT cap+1 collect
+    (one scan, one action) — driver memory on the failure path is
+    bounded by cap+1 rows, the same order the SUCCESS path holds at a
+    full dictionary, never by the oversized dict's true size. An alias
+    set past the cap isn't a curated dictionary; use
     ``scorer='jaccard'`` (fully distributed) there instead.
 
     'embedding' (the third north_star scorer) scores candidates by the

@@ -62,16 +62,19 @@ def unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     intermediate projection — referencing the norm EXPRESSION inside the
     transform lambda would re-evaluate the aggregate per element
     (Catalyst does not CSE across nested lambdas)."""
+    nrm = "_nrm"
+    while nrm in df.columns:  # never clobber a caller's column
+        nrm += "_"
     return (
-        df.withColumn("_nrm", _norm(F.col(vec_col)))
-        .filter(F.col("_nrm") > 0)
+        df.withColumn(nrm, _norm(F.col(vec_col)))
+        .filter(F.col(nrm) > 0)
         .withColumn(
             vec_col,
             F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+                F.col(vec_col), lambda x: x.cast("double") / F.col(nrm)
             ),
         )
-        .drop("_nrm")
+        .drop(nrm)
     )
 
 

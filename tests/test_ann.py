@@ -245,3 +245,18 @@ def test_matmul_topk_string_ids(spark):
 
 # e2e / streaming / property-heavy: excluded from the fast inner-loop tier
 pytestmark = pytest.mark.slow
+
+
+def test_unit_vectors_preserves_existing_nrm_column(spark):
+    """A caller's '_nrm' column must survive unit_vectors untouched
+    (the helper derives a non-colliding temp name)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        unit_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], "keep-me")], "id long, v array<double>, _nrm string"
+    )
+    out = unit_vectors(df, "v").collect()
+    assert out[0]._nrm == "keep-me"
+    assert abs(out[0].v[0] - 0.6) < 1e-12 and abs(out[0].v[1] - 0.8) < 1e-12

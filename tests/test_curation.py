@@ -79,3 +79,25 @@ def test_curate_stages_optional(spark, sf_dir):
     assert {r.doc_id for r in got.select("doc_id").collect()} == {
         r.doc_id for r in want.select("doc_id").collect()
     }
+
+
+def test_curate_custom_text_col(spark, sf_dir):
+    """text_col != 'text' must flow through every stage, including the
+    decontaminate eval side (whose column name follows text_col unless
+    eval_text_col names it explicitly)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+        "text", "body"
+    )
+    out = curate(
+        docs, eval_docs=docs.limit(3).select("body"), text_col="body",
+        min_quality=0.0, n_bands=2, rows_per_band=2, max_bucket=1000,
+    )
+    assert "body" in out.columns and out.count() > 0
+    # explicit eval_text_col for an eval frame with a different schema
+    out2 = curate(
+        docs,
+        eval_docs=docs.limit(3).selectExpr("body AS eval_text"),
+        eval_text_col="eval_text", text_col="body",
+        n_bands=2, rows_per_band=2, max_bucket=1000,
+    )
+    assert out2.count() > 0

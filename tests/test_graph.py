@@ -219,8 +219,11 @@ def test_tfidf_batch_matches_loop():
     batch = make_tfidf_batch_scorer(aliases)
 
     rng = np.random.default_rng(7)
+    # "zz-oov-zz" as BOTH obj and alias pins the out-of-corpus parity
+    # fallback: identical surfaces sharing only OOV n-grams must score
+    # 1.0 on both paths (the indexed dot alone would lose them)
     objs = ["98,532元", "98532元", "醫療費", "x", "保險金額", "zz-oov-zz", None]
-    als = aliases + ["unseen-alias", None]
+    als = aliases + ["unseen-alias", "zz-oov-zz", None]
     obj_s = pd.Series([objs[i] for i in rng.integers(0, len(objs), 500)])
     alias_s = pd.Series([als[i] for i in rng.integers(0, len(als), 500)])
 

@@ -100,7 +100,7 @@ def test_roundtrip_nested_sections_with_gaps(yi, wan, ones):
     assert parse_money(render(n_low_gap)) == n_low_gap
 
 
-@given(st.sampled_from(["萬萬", "千千", "五百千", "元", "萬三千萬", "億億"]))
+@given(st.sampled_from(["萬萬", "千千", "五百千", "元", "萬三千萬", "億億", "0千", "零千", "一千零千"]))
 def test_fail_case_routing(bad):
     """Malformed repeated-unit / empty-number forms must route to the
     outlier bucket ('nan'), never crash and never emit a number —
