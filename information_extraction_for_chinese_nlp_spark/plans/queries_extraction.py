@@ -864,15 +864,18 @@ def frame_sampling(spark, sf_dir):
     )
 
 
-# ONE alias per block and unique money surfaces per vid BY CONSTRUCTION:
-# the entity_link_scored / entity_link_tfidf oracles select one row per
-# CANDIDATE (no per-mention argmax aggregation) and key the tfidf term
-# CTEs by mention_id alone — adding a second alias to a block (or a
-# duplicate surface in one verdict) requires reshaping those oracles to
-# GROUP BY mention with arg_max first (entity_link_embedding shows the
-# shape).
+# Round 5: the entity_link_scored / entity_link_tfidf oracles are now
+# per-MENTION shaped (threshold-null then QUALIFY row_number over
+# (score DESC, canonical_id DESC NULLS LAST) — exactly link_entities'
+# max_by(struct(canonical,score,alias), struct(score,canonical))
+# comparator), the m CTE is DISTINCT, and the tfidf term CTEs key by
+# (mention_id, alias). Multi-alias blocks and duplicate surfaces per
+# verdict are therefore FAIR GAME — E4 below shares E1's block to keep
+# the argmax leg non-vacuous (the r4 one-alias-per-block constraint is
+# retired).
 _LINK_ALIASES = [
     ("98,532元", "E1", "醫療費用#98532"),
+    ("98532元", "E4", "醫療費用#98532"),  # second alias, same block
     ("1,680元", "E2", "醫療費用#1680"),
     ("45,000元", "E3", "醫療費用#45000"),
 ]
@@ -884,7 +887,7 @@ _LINK_MENTION_CTES = f"""mentions AS (
       FROM {_verdicts_values()}
     ),
     m AS (
-      SELECT concat(vid, '#', mention) AS mention_id,
+      SELECT DISTINCT concat(vid, '#', mention) AS mention_id,
              '醫療費用' AS pred, mention AS obj,
              concat('醫療費用#', regexp_replace(mention, '[^0-9]', '', 'g')) AS block_key
       FROM mentions
@@ -926,11 +929,22 @@ def _bigrams_multiset_sql(col: str) -> str:
                   ELSE len(list_intersect(ga, gb))::DOUBLE
                        / len(list_distinct(list_concat(ga, gb))) END AS score
       FROM cand
+    ),
+    thresh AS (
+      SELECT mention_id, pred, obj,
+             CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
+             score
+      FROM scored
     )
-    SELECT mention_id, pred, obj,
-           CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
-           round(score, 6) AS score
-    FROM scored
+    -- per-mention argmax = link_entities' max_by comparator
+    -- struct(score, canonical_id): score first, larger canonical wins
+    -- ties, NULL canonical loses to any value
+    SELECT mention_id, pred, obj, canonical_id, round(score, 6) AS score
+    FROM thresh
+    QUALIFY row_number() OVER (
+      PARTITION BY mention_id, pred, obj
+      ORDER BY score DESC, canonical_id DESC NULLS LAST
+    ) = 1
     """,
 )
 def entity_link_scored(spark, sf_dir):
@@ -970,10 +984,14 @@ def _link_alias_df(spark):
       SELECT m.mention_id, m.pred, m.obj, d.alias, d.canonical_id
       FROM m LEFT JOIN d USING (block_key)
     ),
+    -- obj weights are per MENTION (one obj string per mention_id —
+    -- derived from DISTINCT mention rows, so a multi-alias block does
+    -- not double the term frequencies)
+    mo AS (SELECT DISTINCT mention_id, obj FROM cand WHERE alias IS NOT NULL),
     ta0 AS (
       SELECT mention_id, t, count(*) AS tf
       FROM (SELECT mention_id, unnest({_bigrams_multiset_sql("obj")}) AS t
-            FROM cand WHERE alias IS NOT NULL)
+            FROM mo)
       GROUP BY 1, 2
     ),
     ta AS (
@@ -981,32 +999,49 @@ def _link_alias_df(spark):
              tf * coalesce(i.w, ln(1.0 + (SELECT n FROM corpus)) + 1) AS w
       FROM ta0 LEFT JOIN idf i USING (t)
     ),
+    -- alias weights are per CANDIDATE (mention_id, alias)
     tb0 AS (
-      SELECT mention_id, t, count(*) AS tf
-      FROM (SELECT mention_id, unnest({_bigrams_multiset_sql("alias")}) AS t
+      SELECT mention_id, alias, t, count(*) AS tf
+      FROM (SELECT mention_id, alias, unnest({_bigrams_multiset_sql("alias")}) AS t
             FROM cand WHERE alias IS NOT NULL)
+      GROUP BY 1, 2, 3
+    ),
+    tb AS (
+      SELECT mention_id, alias, t, tf * i.w AS w
+      FROM tb0 JOIN idf i USING (t)
+    ),
+    dotp AS (
+      SELECT tb.mention_id, tb.alias, sum(ta.w * tb.w) AS dot
+      FROM ta JOIN tb ON ta.mention_id = tb.mention_id AND ta.t = tb.t
       GROUP BY 1, 2
     ),
-    tb AS (SELECT mention_id, t, tf * i.w AS w FROM tb0 JOIN idf i USING (t)),
-    dotp AS (
-      SELECT mention_id, sum(ta.w * tb.w) AS dot
-      FROM ta JOIN tb USING (mention_id, t) GROUP BY mention_id
-    ),
     na AS (SELECT mention_id, sqrt(sum(w * w)) AS v FROM ta GROUP BY mention_id),
-    nb AS (SELECT mention_id, sqrt(sum(w * w)) AS v FROM tb GROUP BY mention_id),
+    nb AS (
+      SELECT mention_id, alias, sqrt(sum(w * w)) AS v
+      FROM tb GROUP BY 1, 2
+    ),
     scored AS (
       SELECT c.mention_id, c.pred, c.obj, c.canonical_id,
              CASE WHEN c.alias IS NULL THEN 0.0
                   ELSE coalesce(dp.dot, 0.0) / (na.v * nb.v) END AS score
       FROM cand c
-      LEFT JOIN dotp dp USING (mention_id)
-      LEFT JOIN na USING (mention_id)
-      LEFT JOIN nb USING (mention_id)
+      LEFT JOIN dotp dp ON c.mention_id = dp.mention_id AND c.alias = dp.alias
+      LEFT JOIN na ON c.mention_id = na.mention_id
+      LEFT JOIN nb ON c.mention_id = nb.mention_id AND c.alias = nb.alias
+    ),
+    thresh AS (
+      SELECT mention_id, pred, obj,
+             CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
+             score
+      FROM scored
     )
-    SELECT mention_id, pred, obj,
-           CASE WHEN score >= 0.3 THEN canonical_id END AS canonical_id,
-           round(score, 6) AS score
-    FROM scored
+    -- per-mention argmax = link_entities' max_by comparator
+    SELECT mention_id, pred, obj, canonical_id, round(score, 6) AS score
+    FROM thresh
+    QUALIFY row_number() OVER (
+      PARTITION BY mention_id, pred, obj
+      ORDER BY score DESC, canonical_id DESC NULLS LAST
+    ) = 1
     """,
 )
 def entity_link_tfidf(spark, sf_dir):
