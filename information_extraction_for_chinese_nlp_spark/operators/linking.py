@@ -25,6 +25,18 @@ def char_ngrams(col, n: int = 2):
     )
 
 
+def char_ngrams_multiset(col, n: int = 2):
+    """NON-distinct char n-grams (TF-IDF needs term frequencies);
+    strings shorter than n yield an EMPTY array (matching the Python
+    `_ngrams_py` contract — the distinct variant's sequence(1, 0) quirk
+    would emit the whole short string as a pseudo-gram)."""
+    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    return F.when(
+        F.length(col) >= n,
+        F.transform(idx, lambda i: F.substring(col, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def jaccard(a, b):
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
@@ -241,7 +253,17 @@ def link_entities(
     bounded by cap+1 rows, the same order the SUCCESS path holds at a
     full dictionary, never by the oversized dict's true size. An alias
     set past the cap isn't a curated dictionary; use
-    ``scorer='jaccard'`` (fully distributed) there instead.
+    ``scorer='tfidf_distributed'`` (identical scores, Spark-side fit,
+    no cap) or ``scorer='jaccard'`` there instead.
+
+    'tfidf_distributed' computes the SAME smooth-idf cosine with the
+    IDF fit as a Spark aggregation — no driver collect, no closure, no
+    Python anywhere. Cost shape: one linear explode+groupBy over the
+    mention side (map-side combinable) plus broadcast idf/alias
+    tables; pick it when the alias dictionary outgrows the driver-fit
+    contract or when a pure-Catalyst plan is preferred over the Arrow
+    UDF. Parity with 'tfidf' is pytest-pinned and both paths run
+    against the same DuckDB oracle gate.
 
     'embedding' (the third north_star scorer) scores candidates by the
     cosine of ``emb_col`` arrays both frames must carry (mention-context
@@ -283,6 +305,84 @@ def link_entities(
             return pd.Series(score_fn(obj, alias), dtype="float64")
 
         score_col = tfidf_udf(F.col("obj"), F.col("alias"))
+    elif scorer == "tfidf_distributed":
+        # the SAME smooth-idf cosine as scorer='tfidf', but the fit is a
+        # Spark aggregation instead of a driver-side collect: no
+        # max_tfidf_aliases cap, no closure shipping — the dict's only
+        # remaining bound is the broadcast of the enriched alias table
+        # (drop to a shuffle join on block_key past that). Shape: one
+        # linear explode+groupBy over the mention side (map-side
+        # combinable), broadcast idf/alias tables, per-candidate dot
+        # over the carried weight maps — no Python anywhere.
+        ndocs = alias_dict.select("alias").distinct().agg(
+            F.count("*").cast("double").alias("_n")
+        )
+        dterms = (
+            alias_dict.select("alias").distinct()
+            .select(
+                "alias",
+                F.explode(char_ngrams(F.col("alias"), ngram)).alias("t"),
+            )
+        )
+        idf = (
+            dterms.groupBy("t").agg(F.count("*").alias("_df"))
+            .crossJoin(F.broadcast(ndocs))
+            .select(
+                "t",
+                (F.log((1.0 + F.col("_n")) / (1.0 + F.col("_df"))) + 1.0)
+                .alias("_w"),
+            )
+        )
+        a_terms = (
+            alias_dict
+            .withColumn(
+                "t", F.explode(char_ngrams_multiset(F.col("alias"), ngram))
+            )
+            .groupBy("alias", "canonical_id", "block_key", "t")
+            .agg(F.count("*").alias("_tf"))
+            # inner: alias terms are in the corpus by construction
+            .join(F.broadcast(idf), on="t")
+            .withColumn("_w", F.col("_tf") * F.col("_w"))
+        )
+        alias_dict = a_terms.groupBy("alias", "canonical_id", "block_key").agg(
+            F.map_from_entries(F.collect_list(F.struct("t", "_w"))).alias("_wmap"),
+            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nb"),
+        )
+        m_terms = (
+            m.select(
+                "mention_id",
+                F.explode(char_ngrams_multiset(F.col("obj"), ngram)).alias("t"),
+            )
+            .groupBy("mention_id", "t")
+            .agg(F.count("*").alias("_tf"))
+            .join(F.broadcast(idf), on="t", how="left")
+            .crossJoin(F.broadcast(ndocs))
+            .withColumn(
+                "_w",
+                F.col("_tf")
+                * F.coalesce(
+                    F.col("_w"), F.log(F.lit(1.0) + F.col("_n")) + 1.0
+                ),
+            )
+        )
+        m_agg = m_terms.groupBy("mention_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("t", "_w"))).alias("_omap"),
+            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_na"),
+        )
+        m = m.join(m_agg, on="mention_id", how="left")
+        dot = F.aggregate(
+            F.map_entries(F.col("_omap")),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + e["value"]
+            * F.coalesce(
+                F.try_element_at(F.col("_wmap"), e["key"]), F.lit(0.0)
+            ),
+        )
+        score_col = F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            dot / (F.col("_na") * F.col("_nb")),
+        ).otherwise(F.lit(0.0))
     elif scorer == "embedding":
         from .similarity import cosine
 

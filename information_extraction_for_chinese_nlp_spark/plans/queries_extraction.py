@@ -969,8 +969,7 @@ def _link_alias_df(spark):
     )
 
 
-@register(
-    "entity_link_tfidf",
+_TFIDF_ORACLE_SQL = (
     f"""
     WITH {_LINK_MENTION_CTES},
     corpus AS (SELECT count(*) AS n FROM d),
@@ -1042,8 +1041,11 @@ def _link_alias_df(spark):
       PARTITION BY mention_id, pred, obj
       ORDER BY score DESC, canonical_id DESC NULLS LAST
     ) = 1
-    """,
+    """
 )
+
+
+@register("entity_link_tfidf", _TFIDF_ORACLE_SQL)
 def entity_link_tfidf(spark, sf_dir):
     """north_star's TF-IDF cosine linking variant, oracled end-to-end:
     IDF fitted on the alias corpus, char-bigram term frequencies,
@@ -1054,4 +1056,17 @@ def entity_link_tfidf(spark, sf_dir):
     return link_entities(
         _link_mentions(spark, sf_dir), _link_alias_df(spark),
         threshold=0.3, scorer="tfidf",
+    )
+
+
+@register_extra("entity_link_tfidf_distributed", _TFIDF_ORACLE_SQL)
+def entity_link_tfidf_distributed(spark, sf_dir):
+    """The fully-distributed TF-IDF scorer (Spark-side IDF fit, no
+    driver collect, no alias cap) against the SAME oracle as the
+    UDF-path gate — the two paths must be score-identical."""
+    from ..operators.linking import link_entities
+
+    return link_entities(
+        _link_mentions(spark, sf_dir), _link_alias_df(spark),
+        threshold=0.3, scorer="tfidf_distributed",
     )

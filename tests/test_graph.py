@@ -260,3 +260,37 @@ def test_tfidf_batch_throughput_scales_with_uniques():
     exact = obj_s == alias_s
     assert np.allclose(got[exact.values], 1.0)
     assert (got > 0).any() and (got <= 1.0 + 1e-12).all()
+
+
+def test_tfidf_distributed_matches_udf_path(spark):
+    """scorer='tfidf_distributed' (Spark-side IDF fit, no driver
+    collect, no alias cap) must reproduce scorer='tfidf' on partial
+    (non-exact) matches, multi-alias blocks, OOV n-grams, and sub-ngram
+    surfaces."""
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "醫療費用", "98,532元"), ("m2", "醫療費用", "1680元"),
+         ("m3", "醫療費用", "完全不同的字串"), ("m4", "醫療費用", "x"),
+         ("m5", "薪資收入", "98,532元")],
+        "mention_id string, pred string, obj string",
+    )
+    aliases = spark.createDataFrame(
+        [("98,532元", "E1", "醫療費用#98532"),
+         ("98532元", "E4", "醫療費用#98532"),
+         ("1,680元", "E2", "醫療費用#1680")],
+        "alias string, canonical_id string, block_key string",
+    )
+    a = {r.mention_id: r for r in link_entities(
+        mentions, aliases, threshold=0.1, scorer="tfidf").collect()}
+    b = {r.mention_id: r for r in link_entities(
+        mentions, aliases, threshold=0.1, scorer="tfidf_distributed").collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].canonical_id == b[k].canonical_id, k
+        assert abs((a[k].score or 0.0) - (b[k].score or 0.0)) < 1e-6, k
+    # partial matches present and identical (the interesting leg)
+    partial = [a[k].score for k in a if a[k].score not in (0.0, 1.0)]
+    assert partial, "fixture produced no partial scores"
