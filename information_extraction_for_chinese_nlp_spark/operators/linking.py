@@ -18,11 +18,14 @@ from ..functions.money import normalize_money_udf
 
 
 def char_ngrams(col, n: int = 2):
-    """array of char n-grams of a string column (JVM-side, no UDF)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(col, i, n))
-    )
+    """array of DISTINCT char n-grams of a string column (JVM-side, no
+    UDF). Strings shorter than n yield an EMPTY array — the previous
+    sequence(1, greatest(len-n+1, 0)) formulation produced a DESCENDING
+    [1, 0] sequence there and emitted the whole short string as a
+    pseudo-gram, so two identical 1-char surfaces scored Jaccard 1.0 in
+    Spark while the DuckDB oracle (strict range) and the Python n-gram
+    path both scored 0.0 (latent engine divergence, caught in r5)."""
+    return F.array_distinct(char_ngrams_multiset(col, n))
 
 
 def char_ngrams_multiset(col, n: int = 2):

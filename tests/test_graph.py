@@ -294,3 +294,27 @@ def test_tfidf_distributed_matches_udf_path(spark):
     # partial matches present and identical (the interesting leg)
     partial = [a[k].score for k in a if a[k].score not in (0.0, 1.0)]
     assert partial, "fixture produced no partial scores"
+
+
+def test_char_ngrams_short_string_is_empty(spark):
+    """Sub-n-gram strings yield EMPTY gram arrays (oracle + Python
+    parity): the old descending-sequence quirk emitted the whole string
+    as a pseudo-gram, scoring identical 1-char surfaces Jaccard 1.0 in
+    Spark vs 0.0 in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        char_ngrams,
+        char_ngrams_multiset,
+        jaccard,
+    )
+
+    row = spark.range(1).select(
+        char_ngrams(F.lit("x")).alias("short"),
+        char_ngrams(F.lit("ab")).alias("exact"),
+        char_ngrams_multiset(F.lit("x")).alias("short_m"),
+        F.round(jaccard(char_ngrams(F.lit("x")), char_ngrams(F.lit("x"))), 6).alias("j"),
+    ).collect()[0]
+    assert row.short == [] and row.short_m == []
+    assert row.exact == ["ab"]
+    assert row.j == 0.0  # union empty -> 0, matching the oracle CASE
