@@ -75,6 +75,7 @@ def build_queries(spark):
 
     queries = emb.filter(F.col("vec_id") < 100)
     cc_state = _cc_setup(spark)
+    ivf_state = _ivf_setup(emb)
     return {
         "q1_triples": lambda: extract_triples(transcripts).count(),
         # banded LSH (b=2, r=2): same 4-hash budget as round 1, real
@@ -117,6 +118,11 @@ def build_queries(spark):
         "q5c_ivf_ann": lambda: ivf_topk(
             emb, queries, k=10, n_cells=16, n_probe=4
         ).count(),
+        # the steady-state IVF shape: the index builds ONCE (setup, like
+        # a persisted TableIO index) and only the search is timed —
+        # q5c above re-fits KMeans per invocation, which overstates the
+        # per-query cost of the scale path
+        "q5c2_ivf_search_only": lambda: _ivf_search_count(ivf_state, queries),
         "q6_quality": lambda: quality_features(docs).count(),
         # Gopher-style repetition filters: the bigram aggregate is the
         # module's one deliberate shuffle (linear in doc length)
@@ -205,6 +211,27 @@ def _linker_count(spark):
 # incremental-CC fixture: 500k nodes in chains of 8 (~437k edges base),
 # 1% batch of cross-chain edges folded in
 CC_NODES = int(os.environ.get("BENCH_CC_NODES", "500000"))
+
+
+def _ivf_setup(emb):
+    """Fit the IVF index ONCE (the persisted-index steady state)."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    assigned, centroids = ivf_assignments(emb, n_cells=16)
+    return {"assigned": assigned.localCheckpoint(eager=True),
+            "centroids": centroids}
+
+
+def _ivf_search_count(state, queries):
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_search,
+    )
+
+    return ivf_search(
+        state["assigned"], state["centroids"], queries, k=10, n_probe=4
+    ).count()
 
 
 def _cc_setup(spark):
