@@ -155,7 +155,15 @@ def _graph_count(spark, docs):
         transcripts_from_documents,
     )
 
-    edges = extract_triples(transcripts_from_documents(docs))
+    # mirror scripts/run_pipeline.py: edges are MATERIALIZED (warehouse
+    # snapshot there, lazy localCheckpoint here — first action runs the
+    # extraction once) before graph construction; passing the lazy
+    # frame re-executes the mapInPandas extraction for every downstream
+    # reference (build_graph consumes it 3x: linker pairs + the keyed
+    # join + the two output counts)
+    edges = extract_triples(transcripts_from_documents(docs)).localCheckpoint(
+        eager=False
+    )
     vertices, canonical = build_graph(edges)
     return vertices.count() + canonical.count()
 
