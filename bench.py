@@ -260,7 +260,7 @@ def _cc_setup(spark):
         (F.col("id") * 16).alias("src"),
         (F.col("id") * 16 + 8).alias("dst"),
     )
-    prev = connected_components(base).localCheckpoint(eager=True)
+    prev = connected_components(base, pointer_jump=True).localCheckpoint(eager=True)
     base = base.localCheckpoint(eager=True)
     batch = batch.localCheckpoint(eager=True)
     return {"base": base, "batch": batch, "prev": prev}
@@ -271,7 +271,10 @@ def _cc_full(spark, state):
         connected_components,
     )
 
-    return connected_components(state["base"].union(state["batch"]))
+    # chain-shaped fixture (diameter ~8): the deep-graph configuration
+    return connected_components(
+        state["base"].union(state["batch"]), pointer_jump=True
+    )
 
 
 def _cc_incremental(state):

@@ -25,7 +25,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     durable: bool = False,
-    pointer_jump: bool = True,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """edges(src, dst) undirected -> (node, component) with component =
     min node id of the component (lexicographic for strings).
@@ -99,16 +99,19 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             )
-            # pointer jumping: a node's label is itself a node whose own
-            # label may be smaller — follow one hop (label-of-label), so
-            # labels travel ~2^k hops after k rounds instead of k,
-            # turning O(diameter) rounds into O(log diameter) on deep
-            # graphs (chains, long near-dup runs; measured ~20% wall win
-            # on the 500k-node chain bench fixture, q10_cc_full).
-            # ``pointer_jump=False`` skips the extra join for graphs the
-            # CALLER knows are shallow — merge_components' contraction
-            # fold (old components collapse to single nodes, so depth is
-            # bounded by the batch's merge chains) opts out.
+            # pointer jumping (OPT-IN): a node's label is itself a node
+            # whose own label may be smaller — follow one hop
+            # (label-of-label), so labels travel ~2^k hops after k
+            # rounds instead of k, turning O(diameter) rounds into
+            # O(log diameter) on DEEP graphs (chains, long near-dup
+            # runs; measured ~20% wall win on the 500k-node chain bench
+            # fixture, q10_cc_full). Default OFF because this module's
+            # common callers (entity-match cliques, dedup near-dup
+            # clusters, merge_components' contraction folds) are
+            # diameter ≲ 2-3 and converge in 2-3 rounds either way —
+            # for them the extra full-label-set join per round is
+            # overhead, not acceleration. Turn it on when the edge set
+            # can chain (path-shaped graphs, transitive near-dup runs).
             if pointer_jump:
                 hop = propagated.select(
                     F.col("node").alias("_c"), F.col("component").alias("_cc")
@@ -188,12 +191,7 @@ def merge_components(
             F.coalesce("_cd", "_d").alias("dst"),
         )
     )
-    # contraction graphs are shallow by construction (each old component
-    # is a single node; depth = the batch's own merge-chain length), so
-    # the pointer-jump join would be overhead, not acceleration
-    relabel = connected_components(
-        contracted, max_iter=max_iter, pointer_jump=False
-    ).select(
+    relabel = connected_components(contracted, max_iter=max_iter).select(
         F.col("node").alias("_key"), F.col("component").alias("_new")
     )
 

@@ -317,15 +317,14 @@ def link_entities(
         # linear explode+groupBy over the mention side (map-side
         # combinable), broadcast idf/alias tables, per-candidate dot
         # over the carried weight maps — no Python anywhere.
-        ndocs = alias_dict.select("alias").distinct().agg(
-            F.count("*").cast("double").alias("_n")
-        )
-        dterms = (
-            alias_dict.select("alias").distinct()
-            .select(
-                "alias",
-                F.explode(char_ngrams(F.col("alias"), ngram)).alias("t"),
-            )
+        # distinct aliases materialize ONCE (lazy checkpoint) — ndocs
+        # and the df explode both consume this aggregation, and this is
+        # the path that exists for dicts too large to re-scan casually
+        dd = alias_dict.select("alias").distinct().localCheckpoint(eager=False)
+        ndocs = dd.agg(F.count("*").cast("double").alias("_n"))
+        dterms = dd.select(
+            "alias",
+            F.explode(char_ngrams(F.col("alias"), ngram)).alias("t"),
         )
         idf = (
             dterms.groupBy("t").agg(F.count("*").alias("_df"))
@@ -351,28 +350,52 @@ def link_entities(
             F.map_from_entries(F.collect_list(F.struct("t", "_w"))).alias("_wmap"),
             F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nb"),
         )
+        # the mention frame is REBUILT from the explode+groupBy itself —
+        # pred/obj/block_key ride along as grouping keys, so there is ONE
+        # scan of the mention source and ONE shuffle (the aggregation,
+        # map-side combinable), never a second mention-scale join back.
+        # explode_outer keeps sub-n-gram objs alive (t = NULL sentinel ->
+        # empty weight map, norm 0, score 0.0 — loop-path parity), and
+        # the full-key grouping also scores duplicate (mention_id, obj)
+        # input rows independently instead of merging their n-grams.
         m_terms = (
-            m.select(
-                "mention_id",
-                F.explode(char_ngrams_multiset(F.col("obj"), ngram)).alias("t"),
+            # dedupe mention ROWS before exploding: duplicate input rows
+            # must not double the term frequencies (tf counts per-obj
+            # n-gram occurrences, so the dedupe has to happen above the
+            # explode, not on the exploded rows)
+            m.select("mention_id", "pred", "obj", "block_key")
+            .distinct()
+            .select(
+                "mention_id", "pred", "obj", "block_key",
+                F.explode_outer(
+                    char_ngrams_multiset(F.col("obj"), ngram)
+                ).alias("t"),
             )
-            .groupBy("mention_id", "t")
+            .groupBy("mention_id", "pred", "obj", "block_key", "t")
             .agg(F.count("*").alias("_tf"))
             .join(F.broadcast(idf), on="t", how="left")
             .crossJoin(F.broadcast(ndocs))
             .withColumn(
                 "_w",
-                F.col("_tf")
-                * F.coalesce(
-                    F.col("_w"), F.log(F.lit(1.0) + F.col("_n")) + 1.0
+                F.when(
+                    F.col("t").isNotNull(),
+                    F.col("_tf")
+                    * F.coalesce(
+                        F.col("_w"), F.log(F.lit(1.0) + F.col("_n")) + 1.0
+                    ),
                 ),
             )
         )
-        m_agg = m_terms.groupBy("mention_id").agg(
-            F.map_from_entries(F.collect_list(F.struct("t", "_w"))).alias("_omap"),
-            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_na"),
+        m = m_terms.groupBy("mention_id", "pred", "obj", "block_key").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("t").isNotNull(), F.struct("t", "_w"))
+                )
+            ).alias("_omap"),
+            F.sqrt(
+                F.coalesce(F.sum(F.col("_w") * F.col("_w")), F.lit(0.0))
+            ).alias("_na"),
         )
-        m = m.join(m_agg, on="mention_id", how="left")
         dot = F.aggregate(
             F.map_entries(F.col("_omap")),
             F.lit(0.0),

@@ -926,8 +926,12 @@ def _bigrams_multiset_sql(col: str) -> str:
     scored AS (
       SELECT mention_id, pred, obj, canonical_id,
              CASE WHEN alias IS NULL THEN 0.0
-                  ELSE len(list_intersect(ga, gb))::DOUBLE
-                       / len(list_distinct(list_concat(ga, gb))) END AS score
+                  -- nullif guards the empty-union case (both surfaces
+                  -- shorter than a bigram): Spark's jaccard() returns
+                  -- 0.0 there, a bare division would emit NULL
+                  ELSE coalesce(len(list_intersect(ga, gb))::DOUBLE
+                       / nullif(len(list_distinct(list_concat(ga, gb))), 0),
+                       0.0) END AS score
       FROM cand
     ),
     thresh AS (
@@ -1021,7 +1025,11 @@ _TFIDF_ORACLE_SQL = (
     ),
     scored AS (
       SELECT c.mention_id, c.pred, c.obj, c.canonical_id,
-             CASE WHEN c.alias IS NULL THEN 0.0
+             CASE WHEN c.alias IS NULL
+                       OR coalesce(na.v, 0) * coalesce(nb.v, 0) = 0 THEN 0.0
+                  -- the norm guard covers sub-bigram objs/aliases (no
+                  -- term rows -> na/nb NULL): both Spark paths emit 0.0
+                  -- there, a bare division would emit NULL
                   ELSE coalesce(dp.dot, 0.0) / (na.v * nb.v) END AS score
       FROM cand c
       LEFT JOIN dotp dp ON c.mention_id = dp.mention_id AND c.alias = dp.alias

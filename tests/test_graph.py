@@ -318,3 +318,32 @@ def test_char_ngrams_short_string_is_empty(spark):
     assert row.short == [] and row.short_m == []
     assert row.exact == ["ab"]
     assert row.j == 0.0  # union empty -> 0, matching the oracle CASE
+
+
+def test_tfidf_distributed_distinct_objs_same_mention_id(spark):
+    """One mention_id with TWO distinct objs must score each obj against
+    its own candidates independently — the first distributed-scorer
+    shape merged their n-grams into one weight vector (caught in the r5
+    review) and corrupted both cosines silently."""
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "醫療費用", "98,532元"), ("m1", "醫療費用", "1,680元"),
+         ("m2", "醫療費用", "x")],  # sub-bigram obj must survive with 0.0
+        "mention_id string, pred string, obj string",
+    )
+    aliases = spark.createDataFrame(
+        [("98,532元", "E1", "醫療費用#98532"), ("1,680元", "E2", "醫療費用#1680")],
+        "alias string, canonical_id string, block_key string",
+    )
+    for sc in ("tfidf", "tfidf_distributed"):
+        rows = {(r.mention_id, r.obj): r for r in link_entities(
+            mentions, aliases, threshold=0.3, scorer=sc).collect()}
+        assert rows[("m1", "98,532元")].canonical_id == "E1", sc
+        assert rows[("m1", "98,532元")].score == 1.0, sc
+        assert rows[("m1", "1,680元")].canonical_id == "E2", sc
+        assert rows[("m1", "1,680元")].score == 1.0, sc
+        assert rows[("m2", "x")].canonical_id is None, sc
+        assert rows[("m2", "x")].score == 0.0, sc
