@@ -863,3 +863,70 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
         inter.filter(raw_jac >= threshold)
         .select("doc_a", "doc_b", F.round(raw_jac, 6).alias("jac"))
     )
+
+
+def line_dedup(docs: DataFrame, min_df: int = 3,
+               id_col: str = "doc_id", text_col: str = "text",
+               max_hot_lines: int = 1_000_000) -> DataFrame:
+    """Corpus-level line deduplication (CCNet/C4-family boilerplate
+    removal): any non-empty line whose EXACT text appears in at least
+    ``min_df`` DISTINCT documents is removed from EVERY document —
+    headers, footers, cookie banners, navigation chrome. Empty lines
+    are structural and never counted or removed.
+
+    -> (doc_id, text, n_dropped): ``text`` with hot lines removed
+    (remaining lines re-joined with newline, order preserved),
+    ``n_dropped`` = lines removed from that document.
+
+    Scale shape: the hot-line set is found with one DISTINCT
+    (doc, line) pass + a map-side-combinable count — and it is SMALL by
+    nature (boilerplate is a tiny vocabulary repeated massively), so it
+    rides back as a single broadcast one-row array and each document
+    filters its own split-lines array in place: NO explode/reassemble
+    round-trip of the corpus, no shuffle of the 100 TB side at all. The
+    hot set materializes once (eager localCheckpoint — the same
+    guard-then-broadcast pattern as ``decontaminate``) and
+    ``max_hot_lines`` fails fast if the "small" set isn't (a corpus
+    where boilerplate vocabulary is that large needs the relational
+    anti-join formulation instead of an in-row array scan).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    hot = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.explode(lines).alias("_line"),
+        )
+        .filter(F.col("_line") != "")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_line")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot > max_hot_lines:
+        raise ValueError(
+            f"{n_hot} distinct hot lines exceed max_hot_lines "
+            f"({max_hot_lines}); the in-row array-membership scan "
+            "assumes a small boilerplate vocabulary — raise min_df, "
+            "raise max_hot_lines explicitly, or use a relational "
+            "anti-join formulation"
+        )
+    hot_row = hot.agg(
+        F.coalesce(
+            F.collect_list("_line"), F.array().cast("array<string>")
+        ).alias("_hot")
+    )
+    kept = F.filter(
+        lines,
+        lambda x: (x == "") | ~F.array_contains(F.col("_hot"), x),
+    )
+    return (
+        docs.crossJoin(F.broadcast(hot_row))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(kept, "\n").alias("text"),
+            (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1010,3 +1010,67 @@ def repetition_features_q(spark, sf_dir):
     from ..operators.textstats import repetition_features
 
     return repetition_features(_pii_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet/C4-family boilerplate removal): planted
+# fixture — the synthetic documents table has no naturally repeated
+# lines, so the hot-set leg would be vacuous over it.
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_ROWS = [
+    (0, ["COOKIE BANNER", "unique zero", "FOOTER TEXT"]),
+    (1, ["COOKIE BANNER", "", "unique one", "FOOTER TEXT"]),
+    (2, ["unique two a", "COOKIE BANNER", "unique two b", "FOOTER TEXT"]),
+    (3, ["unique three", "FOOTER TEXT", ""]),
+    # doc that becomes empty except structure once boilerplate drops
+    (4, ["FOOTER TEXT"]),
+]
+
+
+def _line_dedup_values() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, "' || chr(10) || '".join(ls))
+        for i, ls in _LINE_DEDUP_ROWS
+    )
+    return f"(VALUES {rows}) AS d(doc_id, text)"
+
+
+@register_extra(
+    "line_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM {_line_dedup_values()}),
+    hot AS (
+      SELECT line FROM (
+        SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM d
+      ) WHERE line <> '' GROUP BY line HAVING count(*) >= 3
+    ),
+    hotl AS (SELECT coalesce(list(line), []) AS hl FROM hot)
+    SELECT doc_id,
+           -- coalesce: DuckDB's array_to_string emits NULL for an
+           -- empty list where Spark's array_join emits ''
+           coalesce(array_to_string(
+             list_filter(string_split(text, chr(10)),
+                         x -> x = '' OR NOT list_contains(hl, x)),
+             chr(10)), '') AS text,
+           CAST(len(string_split(text, chr(10)))
+                - len(list_filter(string_split(text, chr(10)),
+                                  x -> x = '' OR NOT list_contains(hl, x)))
+                AS BIGINT) AS n_dropped
+    FROM d, hotl
+    """,
+)
+def line_dedup_q(spark, sf_dir):
+    """Boilerplate lines (>= min_df distinct docs) removed from every
+    document, empty lines preserved as structure — CCNet's shard-hash
+    paragraph dedup / C4's line rules, re-expressed as one distinct+
+    count pass and an in-row broadcast array filter (the corpus never
+    shuffles)."""
+    from ..operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in _LINE_DEDUP_ROWS],
+        "doc_id long, text string",
+    )
+    return line_dedup(docs, min_df=3)

@@ -171,3 +171,51 @@ def test_simhash_bucket_distribution_observed(spark):
     assert m["dropped_buckets"] == 0          # no cap by default
     assert m["max_bucket_size"] >= 40         # the hot template bucket
     assert 0 < m["p99_bucket_size"] <= m["max_bucket_size"]
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Hot lines (>= min_df distinct docs) vanish from every document;
+    empty lines survive as structure; per-doc drop counts are exact;
+    the max_hot_lines guard fails fast."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "BANNER\nbody zero\nFOOT"), (1, "BANNER\n\nbody one\nFOOT"),
+         (2, "body two\nBANNER\nFOOT"), (3, "only unique text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_df=3).collect()}
+    assert out[0].text == "body zero" and out[0].n_dropped == 2
+    assert out[1].text == "\nbody one" and out[1].n_dropped == 2  # empty kept
+    assert out[2].text == "body two" and out[2].n_dropped == 2
+    assert out[3].text == "only unique text" and out[3].n_dropped == 0
+    # a doc-internal repeat below min_df across docs is NOT removed
+    solo = spark.createDataFrame(
+        [(0, "x\nx\nx")], "doc_id long, text string"
+    )
+    r = line_dedup(solo, min_df=3).collect()[0]
+    assert r.text == "x\nx\nx" and r.n_dropped == 0  # df counts DISTINCT docs
+    with pytest.raises(ValueError, match="max_hot_lines"):
+        line_dedup(docs, min_df=1, max_hot_lines=2).collect()
+
+
+def test_line_dedup_clean_corpus_is_identity(spark, sf_dir):
+    """The synthetic documents table has no repeated lines: line_dedup
+    must be a byte-identity with n_dropped == 0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_dedup(docs, min_df=3)
+    assert out.filter(F.col("n_dropped") != 0).count() == 0
+    joined = docs.select("doc_id", F.col("text").alias("orig")).join(
+        out, on="doc_id"
+    )
+    assert joined.filter(F.col("orig") != F.col("text")).count() == 0
