@@ -76,6 +76,7 @@ def build_queries(spark):
     queries = emb.filter(F.col("vec_id") < 100)
     cc_state = _cc_setup(spark)
     ivf_state = _ivf_setup(emb)
+    ld_docs = _line_dedup_fixture(spark, n_docs=20_000, n_hot=100_000)
     return {
         "q1_triples": lambda: extract_triples(transcripts).count(),
         # banded LSH (b=2, r=2): same 4-hash budget as round 1, real
@@ -153,6 +154,12 @@ def build_queries(spark):
         # setup (= the persisted state a real ingest run reads)
         "q10_cc_full": lambda: _cc_full(spark, cc_state).count(),
         "q10b_cc_incremental": lambda: _cc_incremental(cc_state).count(),
+        # corpus line-dedup with a 100k-line hot set: auto dispatches to
+        # the frozenset pandas-UDF leg (O(1) probe per line, zero corpus
+        # shuffle) — the in-row array scan this replaced is O(|hot|) per
+        # LINE and measured ~two orders slower here (BASELINE.md A/B,
+        # `python bench.py --line-dedup-ab`)
+        "q11_line_dedup_hot1e5": lambda: _line_dedup_force(ld_docs),
     }
 
 
@@ -250,6 +257,93 @@ def _ivf_search_count(state, queries):
     return ivf_search(
         state["assigned"], state["centroids"], queries, k=10, n_probe=4
     ).count()
+
+
+def _line_dedup_fixture(spark, n_docs: int, n_hot: int):
+    """Deterministic boilerplate corpus: each doc has 15 hot lines drawn
+    from an ``n_hot``-value vocabulary (slot s = doc*15+j maps to value
+    s % n_hot, so every value lands in exactly 15*n_docs/n_hot distinct
+    docs — >= min_df=3 at the bench shape) + 15 unique lines."""
+    from pyspark.sql import functions as F
+
+    hot_cols = [
+        F.format_string("BP%d", (F.col("id") * 15 + j) % n_hot)
+        for j in range(15)
+    ]
+    uniq_cols = [
+        F.format_string("U%d-" + str(j), F.col("id")) for j in range(15)
+    ]
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws("\n", *hot_cols, *uniq_cols).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _line_dedup_force(docs, **kw) -> int:
+    """Run line_dedup and force FULL evaluation (a bare count() would
+    let column pruning skip the rewritten text entirely)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    row = (
+        line_dedup(docs, min_df=3, **kw)
+        .agg(F.sum(F.length("text")), F.sum("n_dropped").alias("nd"))
+        .collect()[0]
+    )
+    return int(row["nd"])
+
+
+def run_line_dedup_ab() -> None:
+    """|hot|-scaling A/B (VERDICT r6 task 1 evidence): per-doc cost of
+    the in-row array scan grows linearly with the hot-set size, while
+    the hashset-UDF and relational legs stay flat. Appends the table to
+    BASELINE.md."""
+    from information_extraction_for_chinese_nlp_spark.session import get_spark
+
+    spark = get_spark("line-dedup-ab", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    results: dict[tuple[int, str], float] = {}
+    for n_hot in (10_000, 100_000):
+        docs = _line_dedup_fixture(spark, n_docs=20_000, n_hot=n_hot)
+        for strat in ("inrow", "hashset", "relational"):
+            best = float("inf")
+            iters = 1 if strat == "inrow" else BENCH_ITERS
+            for _ in range(iters):
+                t0 = time.time()
+                _line_dedup_force(docs, strategy=strat)
+                best = min(best, time.time() - t0)
+            results[(n_hot, strat)] = round(best, 2)
+            print(json.dumps({"n_hot": n_hot, "strategy": strat,
+                              "sec": results[(n_hot, strat)]}))
+    spark.stop()
+    lines = [
+        "",
+        "## line_dedup membership-cost A/B (20k docs x 30 lines, min-of-k)",
+        "",
+        "| strategy | hot=10k sec | hot=100k sec | 10x-hot cost ratio |",
+        "| --- | --- | --- | --- |",
+    ]
+    for strat in ("inrow", "hashset", "relational"):
+        a, b = results[(10_000, strat)], results[(100_000, strat)]
+        lines.append(f"| {strat} | {a} | {b} | {b / a:.2f}x |")
+    lines += [
+        "",
+        "The in-row `array_contains` scan pays O(|hot|) per line; the",
+        "frozenset-UDF and broadcast-join legs are O(1) per line and flat",
+        "in |hot| — auto dispatch uses inrow only below "
+        "`inrow_hot_limit` (default 2k).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines))
 
 
 def _cc_setup(spark):
@@ -434,5 +528,7 @@ if __name__ == "__main__":
         run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--line-dedup-ab" in sys.argv:
+        run_line_dedup_ab()
     else:
         print(json.dumps(run_bench()))

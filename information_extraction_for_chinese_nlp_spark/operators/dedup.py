@@ -21,6 +21,7 @@ operator here is oracle-checkable).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -867,7 +868,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
 
 def line_dedup(docs: DataFrame, min_df: int = 3,
                id_col: str = "doc_id", text_col: str = "text",
-               max_hot_lines: int = 1_000_000) -> DataFrame:
+               max_hot_lines: int = 1_000_000,
+               strategy: str = "auto",
+               inrow_hot_limit: int = 2_000) -> DataFrame:
     """Corpus-level line deduplication (CCNet/C4-family boilerplate
     removal): any non-empty line whose EXACT text appears in at least
     ``min_df`` DISTINCT documents is removed from EVERY document —
@@ -878,22 +881,47 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     (remaining lines re-joined with newline, order preserved),
     ``n_dropped`` = lines removed from that document.
 
-    Scale shape: the hot-line set is found with one DISTINCT
-    (doc, line) pass + a map-side-combinable count — and it is SMALL by
-    nature (boilerplate is a tiny vocabulary repeated massively), so it
-    rides back as a single broadcast one-row array and each document
-    filters its own split-lines array in place: NO explode/reassemble
-    round-trip of the corpus, no shuffle of the 100 TB side at all. The
-    hot set materializes once (eager localCheckpoint — the same
-    guard-then-broadcast pattern as ``decontaminate``) and
-    ``max_hot_lines`` fails fast if the "small" set isn't (a corpus
-    where boilerplate vocabulary is that large needs the relational
-    anti-join formulation instead of an in-row array scan).
+    The hot-line set is found with one DISTINCT (doc, line) pass + a
+    map-side-combinable count, materialized once (eager
+    localCheckpoint, same guard-then-broadcast pattern as
+    ``decontaminate``) — its size ``n_hot`` then picks the membership
+    ``strategy`` (results are identical; parity is pytest-pinned):
+
+    - ``'inrow'``: the hot set rides as ONE broadcast array and each
+      document filters its split-lines array in place. Zero corpus
+      shuffle, pure Catalyst — but membership is ``array_contains``,
+      an O(n_hot) scan PER LINE, so auto only picks it while
+      ``n_hot <= inrow_hot_limit``. (Sublinear in-row membership has
+      no builtin: ``bloom_filter_agg``/``might_contain`` are not in
+      the public FunctionRegistry — verified on this Spark — and
+      Catalyst map lookup is itself a linear probe.)
+    - ``'hashset'``: the hot set ships as a Python frozenset inside an
+      Arrow-batched pandas UDF — O(1) hash probe per line, still zero
+      corpus shuffle. Driver/closure memory is bounded by
+      ``max_hot_lines``; auto picks it for
+      ``inrow_hot_limit < n_hot <= max_hot_lines``.
+    - ``'relational'``: posexplode lines -> broadcast hash join
+      against the hot set (O(1) JVM-side probe, no Python) ->
+      order-preserving reassembly. The ONLY strategy that shuffles the
+      corpus (one groupBy by doc id), and the only one with no bound
+      on the hot set beyond broadcast capacity; auto falls back to it
+      past ``max_hot_lines``, so ``strategy='auto'`` never raises.
+
+    ``max_hot_lines`` raises only when a broadcast-held strategy
+    ('inrow'/'hashset') is EXPLICITLY forced past its budget.
     """
+    if strategy not in ("auto", "inrow", "hashset", "relational"):
+        raise ValueError(f"unknown line_dedup strategy {strategy!r}")
     lines = F.split(F.col(text_col), "\n")
+    # collision-proof working names (same suffix discipline as
+    # similarity.unit_vectors's _nrm)
+    hot_col, d_col = "_hot", "_d"
+    while hot_col in docs.columns or d_col in docs.columns:
+        hot_col += "_"
+        d_col += "_"
     hot = (
         docs.select(
-            F.col(id_col).alias("_d"),
+            F.col(id_col).alias(d_col),
             F.explode(lines).alias("_line"),
         )
         .filter(F.col("_line") != "")
@@ -905,22 +933,62 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         .localCheckpoint(eager=True)
     )
     n_hot = hot.count()
-    if n_hot > max_hot_lines:
+    if strategy == "auto":
+        if n_hot <= inrow_hot_limit:
+            strategy = "inrow"
+        elif n_hot <= max_hot_lines:
+            strategy = "hashset"
+        else:
+            strategy = "relational"
+    elif strategy != "relational" and n_hot > max_hot_lines:
         raise ValueError(
             f"{n_hot} distinct hot lines exceed max_hot_lines "
-            f"({max_hot_lines}); the in-row array-membership scan "
-            "assumes a small boilerplate vocabulary — raise min_df, "
-            "raise max_hot_lines explicitly, or use a relational "
-            "anti-join formulation"
+            f"({max_hot_lines}) for strategy={strategy!r}, which holds "
+            "the whole hot set in one broadcast/closure — raise "
+            "min_df, raise max_hot_lines explicitly, or use "
+            "strategy='relational' (broadcast anti-join, no cap)"
         )
+
+    if strategy == "relational":
+        return _line_dedup_relational(docs, hot, lines, id_col)
+
+    if strategy == "hashset":
+        hot_set = frozenset(r[0] for r in hot.collect())
+
+        @F.pandas_udf("struct<text:string,n_dropped:bigint>")
+        def drop_hot(texts: pd.Series) -> pd.DataFrame:
+            from ..functions.worker import pin_worker_threads
+
+            pin_worker_threads()
+            out_t, out_n = [], []
+            for t in texts:
+                if t is None:
+                    out_t.append(None)
+                    out_n.append(None)
+                    continue
+                ls = t.split("\n")
+                kept = [x for x in ls if x == "" or x not in hot_set]
+                out_t.append("\n".join(kept))
+                out_n.append(len(ls) - len(kept))
+            return pd.DataFrame({"text": out_t, "n_dropped": out_n})
+
+        struct = drop_hot(F.col(text_col))
+        return docs.select(
+            F.col(id_col).alias("doc_id"), struct.alias("_s")
+        ).select(
+            "doc_id",
+            F.col("_s.text").alias("text"),
+            F.col("_s.n_dropped").alias("n_dropped"),
+        )
+
     hot_row = hot.agg(
         F.coalesce(
             F.collect_list("_line"), F.array().cast("array<string>")
-        ).alias("_hot")
+        ).alias(hot_col)
     )
     kept = F.filter(
         lines,
-        lambda x: (x == "") | ~F.array_contains(F.col("_hot"), x),
+        lambda x: (x == "") | ~F.array_contains(F.col(hot_col), x),
     )
     return (
         docs.crossJoin(F.broadcast(hot_row))
@@ -928,5 +996,42 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
             F.col(id_col).alias("doc_id"),
             F.array_join(kept, "\n").alias("text"),
             (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
+                           id_col: str) -> DataFrame:
+    """Unbounded-hot-set leg of :func:`line_dedup`: explode ->
+    broadcast hash join (O(1) probe per line) -> order-preserving
+    reassembly. posexplode_outer + an aggregation over ALL exploded
+    rows (kept lines collected conditionally) keeps every document —
+    including ones whose every line is hot — without a join back to
+    the source."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(lines).alias("_pos", "_line"),
+    )
+    keep = (F.col("_line") == "") | F.col("_is_hot").isNull()
+    return (
+        exploded.join(
+            F.broadcast(hot.withColumn("_is_hot", F.lit(True))),
+            on="_line",
+            how="left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
         )
     )

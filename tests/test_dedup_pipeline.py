@@ -199,8 +199,56 @@ def test_line_dedup_boilerplate_removal(spark):
     )
     r = line_dedup(solo, min_df=3).collect()[0]
     assert r.text == "x\nx\nx" and r.n_dropped == 0  # df counts DISTINCT docs
-    with pytest.raises(ValueError, match="max_hot_lines"):
-        line_dedup(docs, min_df=1, max_hot_lines=2).collect()
+    # the broadcast-held strategies fail fast past max_hot_lines ...
+    for forced in ("inrow", "hashset"):
+        with pytest.raises(ValueError, match="max_hot_lines"):
+            line_dedup(docs, min_df=1, max_hot_lines=2,
+                       strategy=forced).collect()
+    # ... auto instead falls back to the uncapped relational leg
+    assert line_dedup(docs, min_df=3, max_hot_lines=2).count() == 4
+    with pytest.raises(ValueError, match="strategy"):
+        line_dedup(docs, strategy="bogus")
+
+
+def test_line_dedup_strategy_parity(spark):
+    """All three membership strategies (in-row array scan, pandas
+    frozenset probe, relational broadcast anti-join + reassembly)
+    return IDENTICAL rows — including hot-only docs (text collapses to
+    ''), empty-line structure, and docs whose id column is not named
+    doc_id; and a caller column literally named `_hot` survives the
+    in-row crossJoin (collision suffix loop)."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "HOT A\nkeep zero\nHOT B", "x"),
+         (1, "HOT A\n\nkeep one\nHOT B", "y"),
+         (2, "HOT A\nHOT B", "z"),          # collapses to ''
+         (3, "keep three\nHOT A\nHOT B", "w"),
+         (4, "", "v")],                      # empty text is one empty line
+        "id long, text string, _hot string",
+    )
+    outs = {
+        s: sorted(
+            line_dedup(docs, min_df=3, id_col="id", strategy=s).collect()
+        )
+        for s in ("inrow", "hashset", "relational")
+    }
+    assert outs["inrow"] == outs["hashset"] == outs["relational"]
+    by_id = {r.doc_id: r for r in outs["inrow"]}
+    assert by_id[2].text == "" and by_id[2].n_dropped == 2
+    assert by_id[1].text == "\nkeep one" and by_id[1].n_dropped == 2
+    assert by_id[4].text == "" and by_id[4].n_dropped == 0
+    # auto dispatch: tiny hot set -> inrow; forced thresholds exercise
+    # the other two legs above, and a 0-hot corpus is identity on every leg
+    clean = docs.select("id", F.concat(F.lit("u"), F.col("id")).alias("text"))
+    for s in ("inrow", "hashset", "relational"):
+        rows = line_dedup(clean, min_df=2, id_col="id", strategy=s).collect()
+        assert all(r.n_dropped == 0 for r in rows)
+        assert sorted(r.text for r in rows) == ["u0", "u1", "u2", "u3", "u4"]
 
 
 def test_line_dedup_clean_corpus_is_identity(spark, sf_dir):
