@@ -337,18 +337,34 @@ def link_entities(
         )
         a_terms = (
             alias_dict
+            # explode_outer mirrors the mention side: an alias SHORTER
+            # than the n-gram size has zero terms, and a plain explode
+            # would drop it from the rebuilt dict — and so from the
+            # candidate join — entirely, where the 'tfidf'/'jaccard'
+            # paths keep it as a 0.0-scored candidate (NULL canonical_id
+            # at threshold > 0, linked at threshold <= 0). The NULL-t
+            # sentinel row survives as an empty weight map with norm 0.
             .withColumn(
-                "t", F.explode(char_ngrams_multiset(F.col("alias"), ngram))
+                "t", F.explode_outer(char_ngrams_multiset(F.col("alias"), ngram))
             )
             .groupBy("alias", "canonical_id", "block_key", "t")
             .agg(F.count("*").alias("_tf"))
-            # inner: alias terms are in the corpus by construction
-            .join(F.broadcast(idf), on="t")
-            .withColumn("_w", F.col("_tf") * F.col("_w"))
+            # left only for the NULL-t sentinel; non-null alias terms
+            # are in the idf corpus by construction
+            .join(F.broadcast(idf), on="t", how="left")
+            .withColumn(
+                "_w", F.when(F.col("t").isNotNull(), F.col("_tf") * F.col("_w"))
+            )
         )
         alias_dict = a_terms.groupBy("alias", "canonical_id", "block_key").agg(
-            F.map_from_entries(F.collect_list(F.struct("t", "_w"))).alias("_wmap"),
-            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nb"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("t").isNotNull(), F.struct("t", "_w"))
+                )
+            ).alias("_wmap"),
+            F.sqrt(
+                F.coalesce(F.sum(F.col("_w") * F.col("_w")), F.lit(0.0))
+            ).alias("_nb"),
         )
         # the mention frame is REBUILT from the explode+groupBy itself —
         # pred/obj/block_key ride along as grouping keys, so there is ONE

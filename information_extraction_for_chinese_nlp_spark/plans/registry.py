@@ -30,13 +30,26 @@ MAX_PRIMARY = 50
 
 def register(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = (fn, sql)
-        if len(_REGISTRY) > MAX_PRIMARY:
-            raise RuntimeError(
-                f"primary gate registry exceeds the driver's {MAX_PRIMARY}-query "
-                f"window at '{name}' — consolidate a redundant gate into "
-                "register_extra instead (see COVERAGE.md gate-consolidation map)"
+        if name not in _REGISTRY and len(_REGISTRY) >= MAX_PRIMARY:
+            # overflow must NOT be an import-time crash: registry
+            # modules load inside queries()/oracle_sql(), so a raise
+            # here would take all 50 driver gates down with the one
+            # overflowing entry. Route it to the extra tier loudly;
+            # tests/test_registry.py pins the primary count at exactly
+            # MAX_PRIMARY, so an accidental 51st still fails CI.
+            import warnings
+
+            warnings.warn(
+                f"primary gate registry is at the driver's {MAX_PRIMARY}-query "
+                f"window; '{name}' registered as EXTRA (pytest-oracled, not "
+                "driver-facing) — demote a redundant primary to "
+                "register_extra (see COVERAGE.md gate-consolidation map)",
+                RuntimeWarning,
+                stacklevel=2,
             )
+            _EXTRA[name] = (fn, sql)
+            return fn
+        _REGISTRY[name] = (fn, sql)
         return fn
 
     return deco

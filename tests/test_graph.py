@@ -296,6 +296,40 @@ def test_tfidf_distributed_matches_udf_path(spark):
     assert partial, "fixture produced no partial scores"
 
 
+def test_tfidf_distributed_sub_ngram_alias_survives(spark):
+    """An alias SHORTER than the n-gram size has zero terms; the first
+    distributed-scorer shape dropped it from the rebuilt dict (inner
+    explode) so it vanished from the candidate join entirely, while
+    'tfidf'/'jaccard' kept it as a 0.0-scored candidate — divergent at
+    threshold<=0 (linked vs NULL canonical_id). All three scorers must
+    agree on both sides of the threshold."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.linking import (
+        block_key_for_mention,
+        link_entities,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "醫療費用", "x")],
+        "mention_id string, pred string, obj string",
+    )
+    bk = mentions.select(
+        block_key_for_mention(F.col("pred"), F.col("obj")).alias("bk")
+    ).collect()[0].bk
+    # single-char alias: zero bigrams, but it IS the block's candidate
+    aliases = spark.createDataFrame(
+        [("y", "E9", bk)], "alias string, canonical_id string, block_key string"
+    )
+    for thr, want_id in ((0.0, "E9"), (0.5, None)):
+        for sc in ("tfidf", "tfidf_distributed", "jaccard"):
+            r = link_entities(
+                mentions, aliases, threshold=thr, scorer=sc
+            ).collect()[0]
+            assert r.canonical_id == want_id, (sc, thr)
+            assert r.score == 0.0, (sc, thr)
+
+
 def test_char_ngrams_short_string_is_empty(spark):
     """Sub-n-gram strings yield EMPTY gram arrays (oracle + Python
     parity): the old descending-sequence quirk emitted the whole string

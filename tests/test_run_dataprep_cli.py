@@ -88,5 +88,41 @@ def test_dataprep_cli_sampling_and_exact(spark, tmp_path):
              spark.read.parquet(os.path.join(save_dir, "docs")).collect()}
     assert langs == {"zh"}
 
+def test_dataprep_cli_text_col_not_named_text(spark, tmp_path):
+    """--text-col body on an input that ALSO carries a literal 'text'
+    column: the PII stage must scrub `body` (renaming its fixed 'text'
+    output back BEFORE the join — the old join-first shape produced two
+    ambiguous 'text' columns) and leave the unrelated 'text' column
+    byte-identical."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import run_dataprep
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    docs_path = str(tmp_path / "docs3.parquet")
+    spark.createDataFrame(
+        [(1, "reach me at bob@example.com today", "unrelated text col 1"),
+         (2, "no private data in this body here", "unrelated text col 2")],
+        "doc_id long, body string, text string",
+    ).write.parquet(docs_path)
+
+    save_dir = str(tmp_path / "out3")
+    m = run_dataprep.main([
+        "--input", docs_path,
+        "--save-dir", save_dir,
+        "--dedup", "none",
+        "--text-col", "body",
+        "--scrub-pii",
+    ])
+    assert m["n_redactions"] == 1
+    out = {r.doc_id: r for r in
+           spark.read.parquet(os.path.join(save_dir, "docs")).collect()}
+    assert "<EMAIL>" in out[1].body
+    assert out[1].text == "unrelated text col 1"
+    assert out[2].body == "no private data in this body here"
+    assert out[2].text == "unrelated text col 2"
+
+
 # e2e / streaming / property-heavy: excluded from the fast inner-loop tier
 pytestmark = pytest.mark.slow
