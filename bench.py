@@ -124,6 +124,13 @@ def build_queries(spark):
         # q5c above re-fits KMeans per invocation, which overstates the
         # per-query cost of the scale path
         "q5c2_ivf_search_only": lambda: _ivf_search_count(ivf_state, queries),
+        # q5c is KMeans-fit-dominated; the sampled fit (deterministic
+        # md5 10% sample, same centroider) cuts the per-iteration
+        # full-corpus passes ~10x while the recall bar is pytest-pinned
+        # — compare directly against q5c (identical search stage)
+        "q5c3_ivf_sampled_fit": lambda: ivf_topk(
+            emb, queries, k=10, n_cells=16, n_probe=4, fit_fraction=0.1
+        ).count(),
         "q6_quality": lambda: quality_features(docs).count(),
         # Gopher-style repetition filters: the bigram aggregate is the
         # module's one deliberate shuffle (linear in doc length)
@@ -346,6 +353,88 @@ def run_line_dedup_ab() -> None:
         f.write("\n".join(lines))
 
 
+def run_ann_ab() -> None:
+    """q5b plan-shape A/B (VERDICT r6 task 4): single-pass ann_topk
+    (vector rides through the bucket projection) vs the two-scan
+    join-back shape (buckets computed narrow, vectors re-attached by an
+    id-keyed join — which re-executes the corpus scan for the second
+    alias AND pays an exchange). Parquet-backed corpora at sf1-scale
+    (20k vectors, 10x the sf0.1 embeddings table) and 10x that, so the
+    scan-count difference is real I/O. Appends the table to BASELINE.md.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_two_scan,
+    )
+    from information_extraction_for_chinese_nlp_spark.session import get_spark
+
+    spark = get_spark("ann-ab", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    results: dict[tuple[int, str], float] = {}
+    rows_check: dict[tuple[int, str], int] = {}
+    with tempfile.TemporaryDirectory() as td:
+        for n_vecs in (20_000, 200_000):
+            path = os.path.join(td, f"emb{n_vecs}")
+            spark.range(n_vecs).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(31)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.col("id"), d), 1000) / 1000.0
+                        + (F.pmod(F.col("id"), 16) == F.pmod(d, 16)).cast(
+                            "double"
+                        )
+                        * 2.0
+                    ),
+                ).alias("embedding"),
+            ).write.mode("overwrite").parquet(path)
+            corpus = spark.read.parquet(path)
+            queries = corpus.filter(F.col("vec_id") < 100)
+            for label, fn in (("single_pass", ann_topk),
+                              ("two_scan", ann_topk_two_scan)):
+                best = float("inf")
+                for _ in range(BENCH_ITERS):
+                    t0 = time.time()
+                    n = fn(corpus, queries, k=10, n_planes=6,
+                           max_hamming=1).count()
+                    best = min(best, time.time() - t0)
+                results[(n_vecs, label)] = round(best, 2)
+                rows_check[(n_vecs, label)] = n
+                print(json.dumps({"n_vecs": n_vecs, "shape": label,
+                                  "sec": results[(n_vecs, label)],
+                                  "rows": n}))
+            assert (rows_check[(n_vecs, "single_pass")]
+                    == rows_check[(n_vecs, "two_scan")])
+    spark.stop()
+    lines = [
+        "",
+        "## ann_topk plan-shape A/B: single-pass vs two-scan join-back "
+        "(parquet corpus, min-of-k)",
+        "",
+        "| corpus | single-pass sec | two-scan sec | two-scan / single |",
+        "| --- | --- | --- | --- |",
+    ]
+    for n_vecs in (20_000, 200_000):
+        a = results[(n_vecs, "single_pass")]
+        b = results[(n_vecs, "two_scan")]
+        lines.append(f"| {n_vecs} vecs (sf{n_vecs // 20000}) | {a} | {b} "
+                     f"| {b / a:.2f}x |")
+    lines += [
+        "",
+        "Both shapes return identical rows; the two-scan shape re-reads",
+        "the corpus parquet for the join-back alias and adds an id-keyed",
+        "exchange.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines))
+
+
 def _cc_setup(spark):
     """Build the accumulated-graph state ONCE (outside the timed
     queries): base edges, converged labels (what a real ingest run reads
@@ -530,5 +619,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--line-dedup-ab" in sys.argv:
         run_line_dedup_ab()
+    elif "--ann-ab" in sys.argv:
+        run_ann_ab()
     else:
         print(json.dumps(run_bench()))

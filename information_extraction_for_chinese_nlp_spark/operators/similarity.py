@@ -338,22 +338,54 @@ def ivf_assignments(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
 ):
     """IVF coarse quantizer: k-means cells over the corpus.
 
     Returns (assignments df with `cell`, centroids list). The centroid
     model is tiny and broadcast to score queries; training uses MLlib
     KMeans with a fixed seed so the index is reproducible.
+
+    ``fit_fraction``: fit the quantizer on a DETERMINISTIC sample of
+    the corpus (md5-hash keep decisions keyed on the row id — the same
+    bit-stable-at-any-cluster-size discipline as
+    ``sample_stratified``, never ``sample()``'s layout-dependent rng),
+    then assign ALL rows to the sampled centroids. K-means cell
+    centers converge on a fraction of the data (they estimate a
+    density, not per-row facts), so this cuts the fit's cost —
+    KMeans's per-iteration full-corpus pass — by ~1/fit_fraction while
+    recall stays at parity (pinned in tests). The 100 TB shape: the
+    fit should NEVER scan the full corpus 20 times; assignment
+    (one pass) is the only full-corpus stage. Note the SAMPLE is
+    bit-stable across layouts but the centroids still inherit MLlib
+    k-means||'s layout-sensitive init (true of the full fit as well) —
+    reproducibility of a served index comes from persisting it
+    (``save_ivf_index``), not from refitting.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from ..functions.hashing import md5_long
 
     feat = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    train = feat
+    if fit_fraction is not None:
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError(f"fit_fraction {fit_fraction} outside (0, 1]")
+        h = (
+            md5_long(
+                F.concat_ws(
+                    "#", F.lit(f"ivf#{seed}"), F.col("vec_id").cast("string")
+                )
+            )
+            % 1000000
+        )
+        train = feat.filter(h < F.lit(int(round(fit_fraction * 1000000))))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(feat).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
@@ -494,14 +526,20 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: candidates come only from the query's n_probe nearest
     cells — the scale path when brute force is too wide. Recall improves
     with n_probe (n_probe = n_cells degenerates to exact search over a
     partitioned corpus). Convenience wrapper: builds the index and
     searches it once; long-lived corpora should build with
-    ``ivf_assignments`` and reuse via ``ivf_search``."""
-    assigned, centroids = ivf_assignments(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    ``ivf_assignments`` and reuse via ``ivf_search``.
+    ``fit_fraction`` passes through to the quantizer fit (deterministic
+    sampled k-means — see :func:`ivf_assignments`)."""
+    assigned, centroids = ivf_assignments(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col,
+        fit_fraction=fit_fraction,
+    )
     return ivf_search(assigned, centroids, queries, k, n_probe, id_col, vec_col)
 
 
@@ -592,11 +630,18 @@ def ann_topk(
             F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)),
         )
     )
-    # unit-normalize AFTER bucketing (hyperplane signs are
-    # scale-invariant, so the codes are identical); zero-norm rows drop
-    # here — the same rows the old NULL-cosine filter removed — and the
-    # per-pair score is ONE _dot, not a twice-evaluated 3-aggregate
-    # cosine (see unit_vectors)
+    return _ann_rank(c, q, k)
+
+
+def _ann_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of the ANN shapes: broadcast bucket join ->
+    one `_dot` per pair -> probe-dedup -> per-query rank.
+
+    unit-normalizes AFTER bucketing (hyperplane signs are
+    scale-invariant, so the codes are identical); zero-norm rows drop
+    here — the same rows the old NULL-cosine filter removed — and the
+    per-pair score is ONE _dot, not a twice-evaluated 3-aggregate
+    cosine (see unit_vectors)."""
     c = unit_vectors(c, "nvec")
     q = unit_vectors(q, "qvec")
     scored = (
@@ -609,3 +654,46 @@ def ann_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_topk_two_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A/B twin of :func:`ann_topk` kept ONLY as the measured
+    alternative plan shape (``python bench.py --ann-ab``): buckets are
+    computed on a NARROW projection and the vectors re-attached by an
+    id-keyed join back to the corpus. Identical results; different
+    physical plan — the join-back re-executes the corpus scan for the
+    second alias (Spark does not reuse exchanges across self-join
+    aliases — measured, see dedup module docstring) and adds an
+    id-keyed exchange. ann_topk's single-pass shape won both A/B
+    fixtures (BASELINE.md); use ann_topk."""
+    b = hyperplane_lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
+    c = (
+        b.select(F.col("vec_id").alias("nid"), "bucket")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+            ),
+            on="nid",
+        )
+    )
+    q = (
+        hyperplane_lsh_buckets(
+            queries, n_planes, id_col=id_col, vec_col=vec_col, keep=(vec_col,)
+        )
+        .select(
+            F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+        )
+        .withColumn(
+            "bucket",
+            F.explode(_probe_buckets(F.col("bucket"), n_planes, max_hamming)),
+        )
+    )
+    return _ann_rank(c, q, k)

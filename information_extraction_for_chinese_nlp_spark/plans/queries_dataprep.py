@@ -61,7 +61,7 @@ _MINHASH_PAIRS_SELECT = """
     """
 
 
-@register(
+@register_extra(
     "minhash_signatures",
     """
     WITH words AS (
@@ -208,7 +208,7 @@ _SIMHASH16_SELECT = """
     """
 
 
-@register(
+@register_extra(
     "simhash",
     f"WITH {_simhash16_fp_sql()}{_SIMHASH16_SELECT}",
 )
@@ -1036,7 +1036,7 @@ def _line_dedup_values() -> str:
     return f"(VALUES {rows}) AS d(doc_id, text)"
 
 
-@register_extra(
+@register(
     "line_dedup",
     f"""
     WITH d AS (SELECT doc_id, text FROM {_line_dedup_values()}),

@@ -63,7 +63,7 @@ def _verdicts_values() -> str:
     return f"(VALUES {rows}) AS v(vid, text)"
 
 
-@register_extra(
+@register(
     "money_mentions",
     f"""
     SELECT vid, unnest(regexp_extract_all(text, '{_MONEY_RE}')) AS mention
@@ -1067,7 +1067,7 @@ def entity_link_tfidf(spark, sf_dir):
     )
 
 
-@register_extra("entity_link_tfidf_distributed", _TFIDF_ORACLE_SQL)
+@register("entity_link_tfidf_distributed", _TFIDF_ORACLE_SQL)
 def entity_link_tfidf_distributed(spark, sf_dir):
     """The fully-distributed TF-IDF scorer (Spark-side IDF fit, no
     driver collect, no alias cap) against the SAME oracle as the

@@ -305,7 +305,7 @@ def split_hash_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "sort_rank",
     """
     SELECT user_id, event_id,
@@ -328,7 +328,7 @@ def sort_rank(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "distinct_types",
     """
     SELECT user_id, count(DISTINCT event_type) AS n_types
@@ -348,7 +348,7 @@ def distinct_types(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "error_rate",
     """
     SELECT round(avg(CASE WHEN value < 50 THEN 1.0 ELSE 0.0 END), 6) AS err_rate,
@@ -371,7 +371,7 @@ def error_rate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "props_extract",
     """
     SELECT event_id,
@@ -393,7 +393,7 @@ def props_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "events_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour,

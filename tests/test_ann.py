@@ -33,6 +33,58 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert set(zip(full.qid, full.nid)) == exact_pairs
 
 
+def test_ivf_sampled_fit_recall_parity(spark, sf_dir):
+    """fit_fraction trains the coarse quantizer on a deterministic
+    md5-keyed sample, then assigns the FULL corpus: recall vs brute
+    force must hold at the full-fit bar (the centroids estimate a
+    density — a 25% sample recovers the synthetic label clusters just
+    as well), the sample must be layout-independent (same result after
+    a repartition), and full-probe search must stay exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    exact = brute_force_topk(emb, queries, k=3).toPandas()
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    sampled = ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=4, fit_fraction=0.25
+    ).toPandas()
+    recall = len(exact_pairs & set(zip(sampled.qid, sampled.nid))) / len(
+        exact_pairs
+    )
+    assert recall >= 0.6, f"sampled-fit IVF recall@3 = {recall}"
+
+    # the SAMPLE is layout-independent (md5 keep decisions don't move
+    # with partitioning — the sample_stratified discipline; the KMeans
+    # fit itself inherits MLlib's layout-sensitive k-means|| init, true
+    # of the full-fit path too) and its size tracks the fraction
+    from information_extraction_for_chinese_nlp_spark.functions.hashing import (
+        md5_long,
+    )
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    h = md5_long(
+        F.concat_ws("#", F.lit("ivf#42"), F.col("vec_id").cast("string"))
+    ) % 1000000
+    keep = F.lit(int(round(0.25 * 1000000)))
+    s1 = {r.vec_id for r in emb.filter(h < keep).select("vec_id").collect()}
+    s2 = {r.vec_id for r in
+          emb.repartition(7).filter(h < keep).select("vec_id").collect()}
+    assert s1 == s2
+    n = emb.count()
+    assert 0.15 * n <= len(s1) <= 0.35 * n
+
+    # full probe over a sampled-fit index is still exact search
+    full = ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=8, fit_fraction=0.25
+    ).toPandas()
+    assert set(zip(full.qid, full.nid)) == exact_pairs
+
+    with pytest.raises(ValueError, match="fit_fraction"):
+        ivf_assignments(emb, n_cells=8, fit_fraction=0.0)
+
+
 def test_multiprobe_lsh_recall_on_near_dups(spark):
     """Perturbed clones (cos ≈ 0.97) must be retrieved by multiprobe
     LSH: per-bit agreement p = 1 - θ/π ≈ 0.92, so probing Hamming
@@ -65,6 +117,23 @@ def test_multiprobe_lsh_recall_on_near_dups(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= 0.8, f"multiprobe d=2 recall {r2}"
     assert r2 >= r0
+
+
+def test_ann_two_scan_shape_parity(spark, sf_dir):
+    """The A/B twin (narrow bucketing + id-keyed join-back) must return
+    exactly the single-pass shape's rows — it exists only so the bench
+    can price the two physical plans against each other."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ann_topk_two_scan,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ann_topk(
+        emb, queries, k=3, n_planes=6, max_hamming=1).collect()))
+    b = sorted(map(tuple, ann_topk_two_scan(
+        emb, queries, k=3, n_planes=6, max_hamming=1).collect()))
+    assert a == b and a
 
 
 def test_lsh_buckets_deterministic(spark, sf_dir):
