@@ -100,7 +100,59 @@ def test_roundtrip_nested_sections_with_gaps(yi, wan, ones):
     assert parse_money(render(n_low_gap)) == n_low_gap
 
 
-@given(st.sampled_from(["萬萬", "千千", "五百千", "元", "萬三千萬", "億億", "0千", "零千", "一千零千"]))
+def render_mixed(n: int, rng) -> str:
+    """1 <= n < 10^12 with a per-section style draw: canonical Chinese
+    (零 gap markers), unpadded Arabic (positional by construction),
+    zero-padded Arabic (0500-style), or digit-by-digit script mixing
+    (3億0五萬-style — Arabic and Chinese digits concatenate
+    positionally). Non-leading non-Chinese sections zero-pad to width 4
+    in the padded/mixed styles, which also keeps a lone trailing
+    Chinese digit out of the colloquial next-lower-unit rule
+    (tail length > 1 routes positionally)."""
+    secs = [(n // 10**8, "億"), (n // 10**4 % 10**4, "萬"), (n % 10**4, "")]
+    out = []
+    emitted = False
+    for value, unit in secs:
+        if value == 0:
+            continue
+        style = rng.choice(("cn", "ar", "ar_pad", "mix"))
+        if style == "cn":
+            if emitted and len(str(value)) < 4:
+                out.append("零")
+            out.append(render_section(value) + unit)
+        else:
+            s = str(value)
+            if style != "ar" and emitted:
+                s = s.zfill(4)
+            if style == "mix":
+                # zeros stay Arabic: 零 is a positional PLACEHOLDER to
+                # the parser (as in 三百零五), not an accumulating
+                # digit, so 5零5 would read as 55 — the in-the-wild
+                # mixed forms (3億0五萬) keep the 0 Arabic too
+                s = "".join(
+                    c if c == "0" or rng.random() < 0.5 else DIG[int(c)]
+                    for c in s
+                )
+            out.append(s + unit)
+        emitted = True
+    return "".join(out)
+
+
+def test_roundtrip_mixed_sections_10k():
+    """VERDICT r6 task 9: 10^4 seeded cases over the full range with
+    per-section style mixing (3億0五萬, 1萬2000, 2億0500萬0030,
+    zero-padded and script-mixed digits) — zero counterexamples."""
+    import random
+
+    rng = random.Random(20260817)
+    for _ in range(10_000):
+        n = rng.randrange(1, 10**rng.randrange(1, 13))
+        s = render_mixed(n, rng)
+        got = parse_money(s)
+        assert got == n, f"{s!r} -> {got}, want {n}"
+
+
+@given(st.sampled_from(["萬萬", "千千", "五百千", "元", "萬三千萬", "億億", "0千", "零千", "一千零千", "3億0萬", "00百", "1萬零萬"]))
 def test_fail_case_routing(bad):
     """Malformed repeated-unit / empty-number forms must route to the
     outlier bucket ('nan'), never crash and never emit a number —
