@@ -332,7 +332,8 @@ def run_line_dedup_ab() -> None:
     spark.stop()
     lines = [
         "",
-        "## line_dedup membership-cost A/B (20k docs x 30 lines, min-of-k)",
+        "## line_dedup membership-cost A/B (20k docs x 30 lines; "
+        "hashset/relational min-of-k, inrow single-run)",
         "",
         "| strategy | hot=10k sec | hot=100k sec | 10x-hot cost ratio |",
         "| --- | --- | --- | --- |",

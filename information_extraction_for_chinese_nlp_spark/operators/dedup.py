@@ -934,7 +934,11 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     )
     n_hot = hot.count()
     if strategy == "auto":
-        if n_hot <= inrow_hot_limit:
+        # inrow must respect BOTH caps: inrow_hot_limit is the
+        # per-line-scan-cost bound, max_hot_lines the caller's
+        # broadcast/driver budget — a max_hot_lines below the inrow
+        # limit must still keep auto off the broadcast-held legs
+        if n_hot <= min(inrow_hot_limit, max_hot_lines):
             strategy = "inrow"
         elif n_hot <= max_hot_lines:
             strategy = "hashset"
@@ -1007,31 +1011,55 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
     reassembly. posexplode_outer + an aggregation over ALL exploded
     rows (kept lines collected conditionally) keeps every document —
     including ones whose every line is hot — without a join back to
-    the source."""
-    exploded = docs.select(
+    the source. Reassembly groups on a per-ROW id, not ``id_col``, so
+    duplicate (or NULL) doc ids keep their per-row multiplicity exactly
+    like the in-row legs; a NULL text (NULL split array -> the one
+    NULL-pos exploded row) round-trips to (NULL, NULL), also matching
+    them."""
+    # per-row grouping key: values are consumed and dropped inside this
+    # one plan, so layout-dependence is irrelevant. MUST be stamped in
+    # its own projection BELOW the explode — in the same select as
+    # posexplode_outer the nondeterministic id is evaluated per
+    # EXPLODED row (one group per line); CollapseProject never merges
+    # nondeterministic projections, so this stays an input-row stamp.
+    stamped = docs.select(
+        F.monotonically_increasing_id().alias("_rid"),
         F.col(id_col).alias("doc_id"),
-        F.posexplode_outer(lines).alias("_pos", "_line"),
+        lines.alias("_lines"),
+    )
+    exploded = stamped.select(
+        "_rid",
+        "doc_id",
+        F.posexplode_outer(F.col("_lines")).alias("_pos", "_line"),
     )
     keep = (F.col("_line") == "") | F.col("_is_hot").isNull()
+    was_null = F.max(F.col("_pos").isNull())
     return (
         exploded.join(
             F.broadcast(hot.withColumn("_is_hot", F.lit(True))),
             on="_line",
             how="left",
         )
-        .groupBy("doc_id")
+        .groupBy("_rid")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(keep, F.struct("_pos", "_line"))
-                        )
+            F.first("doc_id").alias("doc_id"),
+            F.when(
+                ~was_null,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("_pos", "_line"))
+                            )
+                        ),
+                        lambda s: s["_line"],
                     ),
-                    lambda s: s["_line"],
+                    "\n",
                 ),
-                "\n",
             ).alias("text"),
-            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.when(
+                ~was_null, F.sum(F.when(keep, 0).otherwise(1))
+            ).cast("long").alias("n_dropped"),
         )
+        .select("doc_id", "text", "n_dropped")
     )

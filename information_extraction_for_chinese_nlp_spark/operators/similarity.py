@@ -385,6 +385,16 @@ def ivf_assignments(
             % 1000000
         )
         train = feat.filter(h < F.lit(int(round(fit_fraction * 1000000))))
+        # fail fast with a clear message instead of an opaque MLlib
+        # error when the sample is too thin to carry k centroids (the
+        # cap+1 LIMIT bounds the check to one cheap early-stop scan)
+        n_train = len(train.select("vec_id").limit(n_cells).collect())
+        if n_train < n_cells:
+            raise ValueError(
+                f"fit_fraction={fit_fraction} sampled only {n_train} "
+                f"rows (< n_cells={n_cells}) — raise fit_fraction or "
+                "drop fit_fraction for a full fit"
+            )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(feat).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")

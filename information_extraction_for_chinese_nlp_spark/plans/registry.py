@@ -39,6 +39,19 @@ def register(name: str, sql: str | None = None):
             # MAX_PRIMARY, so an accidental 51st still fails CI.
             import warnings
 
+            if name in _EXTRA:
+                # never clobber an existing extra gate from the
+                # overflow path — the overflowing registration is
+                # DROPPED and the established extra keeps running
+                warnings.warn(
+                    f"primary gate registry is full AND '{name}' already "
+                    "exists in the extra tier; the overflowing "
+                    "registration was DROPPED (the existing extra gate "
+                    "is unchanged) — rename it or demote a primary",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return fn
             warnings.warn(
                 f"primary gate registry is at the driver's {MAX_PRIMARY}-query "
                 f"window; '{name}' registered as EXTRA (pytest-oracled, not "

@@ -83,6 +83,10 @@ def test_ivf_sampled_fit_recall_parity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="fit_fraction"):
         ivf_assignments(emb, n_cells=8, fit_fraction=0.0)
+    # a sample too thin to carry k centroids fails fast with a clear
+    # message, not an opaque MLlib error
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_assignments(emb, n_cells=8, fit_fraction=1e-6)
 
 
 def test_multiprobe_lsh_recall_on_near_dups(spark):

@@ -204,8 +204,22 @@ def test_line_dedup_boilerplate_removal(spark):
         with pytest.raises(ValueError, match="max_hot_lines"):
             line_dedup(docs, min_df=1, max_hot_lines=2,
                        strategy=forced).collect()
-    # ... auto instead falls back to the uncapped relational leg
-    assert line_dedup(docs, min_df=3, max_hot_lines=2).count() == 4
+    # ... auto instead falls back to the uncapped relational leg: at
+    # min_df=1 every distinct non-empty line is hot (n_hot=10 > the
+    # max_hot_lines=2 budget, which auto respects even below
+    # inrow_hot_limit), so every doc collapses to its empty lines and
+    # NOTHING raises
+    auto = {r.doc_id: r for r in
+            line_dedup(docs, min_df=1, max_hot_lines=2).collect()}
+    assert len(auto) == 4
+    assert auto[1].text == "" and auto[1].n_dropped == 3  # empty line kept
+    assert auto[3].text == "" and auto[3].n_dropped == 1
+    # and auto honors max_hot_lines as the broadcast budget even when
+    # n_hot is under inrow_hot_limit: results match the forced
+    # relational leg exactly
+    assert sorted(auto.values()) == sorted(
+        line_dedup(docs, min_df=1, strategy="relational").collect()
+    )
     with pytest.raises(ValueError, match="strategy"):
         line_dedup(docs, strategy="bogus")
 
@@ -228,12 +242,19 @@ def test_line_dedup_strategy_parity(spark):
          (1, "HOT A\n\nkeep one\nHOT B", "y"),
          (2, "HOT A\nHOT B", "z"),          # collapses to ''
          (3, "keep three\nHOT A\nHOT B", "w"),
-         (4, "", "v")],                      # empty text is one empty line
+         (4, "", "v"),                       # empty text is one empty line
+         (5, None, "u"),                     # NULL text -> (NULL, NULL)
+         (6, "HOT A\ndupe id a\nHOT B", "t"),
+         (6, "dupe id b\nHOT A", "s")],      # duplicate id: 2 rows out
         "id long, text string, _hot string",
     )
+    def key(r):
+        return (r.doc_id, r.text or "", r.n_dropped if r.n_dropped is not None else -1)
+
     outs = {
         s: sorted(
-            line_dedup(docs, min_df=3, id_col="id", strategy=s).collect()
+            line_dedup(docs, min_df=3, id_col="id", strategy=s).collect(),
+            key=key,
         )
         for s in ("inrow", "hashset", "relational")
     }
@@ -242,13 +263,22 @@ def test_line_dedup_strategy_parity(spark):
     assert by_id[2].text == "" and by_id[2].n_dropped == 2
     assert by_id[1].text == "\nkeep one" and by_id[1].n_dropped == 2
     assert by_id[4].text == "" and by_id[4].n_dropped == 0
+    # NULL text round-trips to (NULL, NULL) on EVERY leg
+    assert by_id[5].text is None and by_id[5].n_dropped is None
+    # duplicate ids keep per-row multiplicity on every leg (the
+    # relational reassembly groups on a per-row key, not the doc id)
+    dupes = sorted(r.text for r in outs["relational"] if r.doc_id == 6)
+    assert dupes == ["dupe id a", "dupe id b"]
     # auto dispatch: tiny hot set -> inrow; forced thresholds exercise
     # the other two legs above, and a 0-hot corpus is identity on every leg
     clean = docs.select("id", F.concat(F.lit("u"), F.col("id")).alias("text"))
     for s in ("inrow", "hashset", "relational"):
         rows = line_dedup(clean, min_df=2, id_col="id", strategy=s).collect()
         assert all(r.n_dropped == 0 for r in rows)
-        assert sorted(r.text for r in rows) == ["u0", "u1", "u2", "u3", "u4"]
+        # u6 rides twice (duplicate id 6) but only ONE distinct doc ->
+        # df=1, below min_df, so it survives on every leg
+        assert sorted(r.text for r in rows) == [
+            "u0", "u1", "u2", "u3", "u4", "u5", "u6", "u6"]
 
 
 def test_line_dedup_clean_corpus_is_identity(spark, sf_dir):

@@ -40,6 +40,21 @@ def test_overflow_registration_routes_to_extra_with_warning():
         registry._EXTRA.pop(name, None)
 
 
+def test_overflow_never_clobbers_an_existing_extra():
+    """A full primary tier + a name collision with an established extra
+    gate must DROP the overflowing registration (with its own warning),
+    never silently replace the extra's (fn, sql)."""
+    registry._load()
+    name = next(iter(registry._EXTRA))
+    orig = registry._EXTRA[name]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        registry.register(name, "SELECT 2 AS two")(lambda spark, sf: None)
+    assert registry._EXTRA[name] == orig
+    assert name not in registry._REGISTRY or registry._REGISTRY[name] == orig
+    assert any("DROPPED" in str(w.message) for w in caught)
+
+
 def test_re_registration_of_existing_primary_stays_primary():
     """Overwriting an existing primary name is an update, not an
     overflow — it must stay in the primary tier."""
