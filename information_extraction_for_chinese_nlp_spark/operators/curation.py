@@ -37,13 +37,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .convert import sample_stratified
-from .dedup import decontaminate, dedup_pipeline
+from .dedup import decontaminate, dedup_pipeline, line_dedup
 from .textstats import pii_scrub_col, quality_feature_cols
 
 
 def curate(
     docs: DataFrame,
     *,
+    line_dedup_min_df: int | None = None,
     eval_docs: DataFrame | None = None,
     eval_text_col: str | None = None,
     decontam_n: int = 8,
@@ -61,11 +62,31 @@ def curate(
     vectorized: bool = False,
     observation=None,
 ) -> DataFrame:
-    """dedup -> (decontaminate) -> (quality filter) -> (PII scrub) ->
-    (stratified sample); returns the surviving rows of ``docs`` with
-    ``text_col`` scrubbed. Optional stages are skipped when their
-    argument is None/False. One lazy plan; see the module docstring for
-    the scan-count contract."""
+    """(line-level boilerplate removal) -> dedup -> (decontaminate) ->
+    (quality filter) -> (PII scrub) -> (stratified sample); returns the
+    surviving rows of ``docs`` with ``text_col`` rewritten/scrubbed.
+    Optional stages are skipped when their argument is None/False. One
+    lazy plan; see the module docstring for the scan-count contract.
+
+    ``line_dedup_min_df`` enables CCNet/C4-style hot-line removal FIRST
+    — boilerplate inflates near-dup similarity, so stripping it before
+    banding is the principled order. Scan accounting: the stage adds
+    its own hot-set pass over the source plus the rewrite
+    materialization (a lazy checkpoint boundary — dedup consumes the
+    rewritten text twice), so the composed job reads the SOURCE twice
+    and every later stage reads checkpoint blocks; passenger columns
+    (strata etc.) ride through ``line_dedup(keep=...)``, never a
+    join-back."""
+    if line_dedup_min_df is not None:
+        passengers = [c for c in docs.columns if c not in (id_col, text_col)]
+        docs = line_dedup(
+            docs, min_df=line_dedup_min_df, id_col=id_col,
+            text_col=text_col, keep=tuple(passengers),
+        ).select(
+            F.col("doc_id").alias(id_col),
+            *passengers,
+            F.col("text").alias(text_col),
+        ).localCheckpoint(eager=False)
     out = dedup_pipeline(
         docs, n_bands, rows_per_band, id_col, text_col,
         max_bucket=max_bucket, vectorized=vectorized,

@@ -870,7 +870,8 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
                id_col: str = "doc_id", text_col: str = "text",
                max_hot_lines: int = 1_000_000,
                strategy: str = "auto",
-               inrow_hot_limit: int = 2_000) -> DataFrame:
+               inrow_hot_limit: int = 2_000,
+               keep: tuple = ()) -> DataFrame:
     """Corpus-level line deduplication (CCNet/C4-family boilerplate
     removal): any non-empty line whose EXACT text appears in at least
     ``min_df`` DISTINCT documents is removed from EVERY document —
@@ -909,9 +910,21 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
 
     ``max_hot_lines`` raises only when a broadcast-held strategy
     ('inrow'/'hashset') is EXPLICITLY forced past its budget.
+
+    ``keep``: passenger columns carried through unchanged (between
+    ``doc_id`` and ``text`` in the output) — what lets a composed
+    curation job run boilerplate removal without a join-back to
+    recover its strata/metadata columns.
     """
     if strategy not in ("auto", "inrow", "hashset", "relational"):
         raise ValueError(f"unknown line_dedup strategy {strategy!r}")
+    keep = tuple(keep)
+    reserved = {"doc_id", "text", "n_dropped"}
+    if bad := [k for k in keep if k in reserved]:
+        raise ValueError(
+            f"keep columns {bad} collide with line_dedup's fixed output "
+            "names (doc_id, text, n_dropped) — rename them first"
+        )
     lines = F.split(F.col(text_col), "\n")
     # collision-proof working names (same suffix discipline as
     # similarity.unit_vectors's _nrm)
@@ -954,7 +967,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         )
 
     if strategy == "relational":
-        return _line_dedup_relational(docs, hot, lines, id_col)
+        return _line_dedup_relational(docs, hot, lines, id_col, keep)
 
     if strategy == "hashset":
         hot_set = frozenset(r[0] for r in hot.collect())
@@ -978,9 +991,10 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
 
         struct = drop_hot(F.col(text_col))
         return docs.select(
-            F.col(id_col).alias("doc_id"), struct.alias("_s")
+            F.col(id_col).alias("doc_id"), *keep, struct.alias("_s")
         ).select(
             "doc_id",
+            *keep,
             F.col("_s.text").alias("text"),
             F.col("_s.n_dropped").alias("n_dropped"),
         )
@@ -998,6 +1012,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         docs.crossJoin(F.broadcast(hot_row))
         .select(
             F.col(id_col).alias("doc_id"),
+            *keep,
             F.array_join(kept, "\n").alias("text"),
             (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
         )
@@ -1005,7 +1020,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
 
 
 def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
-                           id_col: str) -> DataFrame:
+                           id_col: str, keep: tuple = ()) -> DataFrame:
     """Unbounded-hot-set leg of :func:`line_dedup`: explode ->
     broadcast hash join (O(1) probe per line) -> order-preserving
     reassembly. posexplode_outer + an aggregation over ALL exploded
@@ -1025,14 +1040,16 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
     stamped = docs.select(
         F.monotonically_increasing_id().alias("_rid"),
         F.col(id_col).alias("doc_id"),
+        *keep,
         lines.alias("_lines"),
     )
     exploded = stamped.select(
         "_rid",
         "doc_id",
+        *keep,
         F.posexplode_outer(F.col("_lines")).alias("_pos", "_line"),
     )
-    keep = (F.col("_line") == "") | F.col("_is_hot").isNull()
+    keep_line = (F.col("_line") == "") | F.col("_is_hot").isNull()
     was_null = F.max(F.col("_pos").isNull())
     return (
         exploded.join(
@@ -1043,13 +1060,14 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
         .groupBy("_rid")
         .agg(
             F.first("doc_id").alias("doc_id"),
+            *[F.first(k).alias(k) for k in keep],
             F.when(
                 ~was_null,
                 F.array_join(
                     F.transform(
                         F.array_sort(
                             F.collect_list(
-                                F.when(keep, F.struct("_pos", "_line"))
+                                F.when(keep_line, F.struct("_pos", "_line"))
                             )
                         ),
                         lambda s: s["_line"],
@@ -1058,8 +1076,8 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
                 ),
             ).alias("text"),
             F.when(
-                ~was_null, F.sum(F.when(keep, 0).otherwise(1))
+                ~was_null, F.sum(F.when(keep_line, 0).otherwise(1))
             ).cast("long").alias("n_dropped"),
         )
-        .select("doc_id", "text", "n_dropped")
+        .select("doc_id", *keep, "text", "n_dropped")
     )

@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> dict:
                     help="drop docs with quality_score below this")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IDs/phones in the output text")
+    ap.add_argument("--line-dedup-min-df", type=int, default=None,
+                    help="remove lines appearing in >= this many distinct "
+                         "docs (CCNet/C4 boilerplate rule) BEFORE dedup; "
+                         "passenger columns ride through, but a literal "
+                         "'text' column alongside --text-col != text must "
+                         "be renamed first")
     ap.add_argument("--sample", default=None,
                     help="stratified keep fractions, e.g. en=0.25,zh=1.0")
     ap.add_argument("--strata-col", default="lang")
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None) -> dict:
         decontaminate,
         dedup_exact,
         dedup_pipeline,
+        line_dedup,
     )
     from information_extraction_for_chinese_nlp_spark.operators.textstats import (
         quality_features,
@@ -92,6 +99,23 @@ def main(argv: list[str] | None = None) -> dict:
     docs = spark.read.parquet(args.input)
     metrics: dict = {"n_in": docs.count()}
     id_col, text_col = args.id_col, args.text_col
+
+    if args.line_dedup_min_df is not None:
+        passengers = [c for c in docs.columns if c not in (id_col, text_col)]
+        ld = line_dedup(
+            docs, min_df=args.line_dedup_min_df, id_col=id_col,
+            text_col=text_col, keep=tuple(passengers),
+        )
+        # boundary: the rewritten corpus feeds every later stage; the
+        # drop metric and the downstream reads share one materialization
+        ld = ld.localCheckpoint(eager=False)
+        metrics["n_hot_lines_dropped"] = int(
+            ld.agg(F.sum("n_dropped")).first()[0] or 0
+        )
+        docs = ld.select(
+            F.col("doc_id").alias(id_col), *passengers,
+            F.col("text").alias(text_col),
+        )
 
     obs = None
     if args.dedup == "pipeline":

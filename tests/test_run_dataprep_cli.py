@@ -124,5 +124,37 @@ def test_dataprep_cli_text_col_not_named_text(spark, tmp_path):
     assert out[2].text == "unrelated text col 2"
 
 
+def test_dataprep_cli_line_dedup_stage(spark, tmp_path):
+    """--line-dedup-min-df strips corpus boilerplate before dedup and
+    reports the drop count; passenger columns survive."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import run_dataprep
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    docs_path = str(tmp_path / "docs4.parquet")
+    rows = [(i, f"COOKIE BANNER\nbody number {i} here\nFOOTER", "en")
+            for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(docs_path)
+
+    save_dir = str(tmp_path / "out4")
+    m = run_dataprep.main([
+        "--input", docs_path,
+        "--save-dir", save_dir,
+        "--dedup", "none",
+        "--line-dedup-min-df", "3",
+    ])
+    assert m["n_hot_lines_dropped"] == 10  # 2 hot lines x 5 docs
+    out = {r.doc_id: r for r in
+           spark.read.parquet(os.path.join(save_dir, "docs")).collect()}
+    assert len(out) == 5
+    assert all("COOKIE" not in r.text and "FOOTER" not in r.text
+               for r in out.values())
+    assert all(r.lang == "en" for r in out.values())
+
+
 # e2e / streaming / property-heavy: excluded from the fast inner-loop tier
 pytestmark = pytest.mark.slow
