@@ -1064,13 +1064,15 @@ def _line_dedup_values() -> str:
 def line_dedup_q(spark, sf_dir):
     """Boilerplate lines (>= min_df distinct docs) removed from every
     document, empty lines preserved as structure — CCNet's shard-hash
-    paragraph dedup / C4's line rules, re-expressed as one distinct+
-    count pass and an in-row broadcast array filter (the corpus never
-    shuffles)."""
+    paragraph dedup / C4's line rules, one distinct+count pass then an
+    O(1)-per-line membership filter. The gate forces the HASHSET leg
+    (the at-scale auto default: Arrow frozenset probe, zero corpus
+    shuffle) against the oracle; the in-row leg holds the r5 green rows
+    and all three legs are parity-pinned in test_dedup_pipeline."""
     from ..operators.dedup import line_dedup
 
     docs = spark.createDataFrame(
         [(i, "\n".join(ls)) for i, ls in _LINE_DEDUP_ROWS],
         "doc_id long, text string",
     )
-    return line_dedup(docs, min_df=3)
+    return line_dedup(docs, min_df=3, strategy="hashset")
