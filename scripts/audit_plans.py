@@ -101,6 +101,29 @@ query side explodes to its Hamming-radius probe codes and broadcasts
 (BroadcastHashJoin on bucket) — the 100 TB corpus never shuffles for
 candidate generation; only the per-query top-k window runs on the
 (output-bound) candidate set.
+
+Round-6 A/B closed the r5 watch on this shape: `ann_topk_two_scan`
+(narrow bucketing + id-keyed join-back, identical rows) was benched
+against it on parquet corpora at 20k and 200k vectors
+(`python bench.py --ann-ab`, table in BASELINE.md). At 20k the shapes
+tie within the noise band (two-scan ~5% ahead); at 200k the sign flips
+to single-pass in the quieter run. The two-scan cost (second corpus
+read + exchange) scales with corpus bytes while the single-pass cost
+(vector through the bucket projection) is flat per row — single-pass
+stays the shipped shape.
+"""))
+
+from information_extraction_for_chinese_nlp_spark.operators.dedup import line_dedup
+ld_docs = docs.limit(2000)
+q = line_dedup(ld_docs, min_df=3, strategy="hashset")
+sections.append(("line_dedup (hashset leg, the at-scale auto default)", plan_of(q), """
+What to read: the corpus side is Scan -> ArrowEvalPython -> Project —
+NO Exchange anywhere (the hot-line set ships inside the UDF closure as
+a frozenset; membership is O(1) per line). The hot-set discovery pass
+ran at plan-construction time into an eager localCheckpoint and does
+not appear here. The relational leg (unbounded hot sets) trades this
+shuffle-free shape for one groupBy reassembly; the A/B table in
+BASELINE.md prices all three legs.
 """))
 
 from information_extraction_for_chinese_nlp_spark.operators.similarity import matmul_topk
