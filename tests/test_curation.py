@@ -168,3 +168,9 @@ def test_line_dedup_keep_columns(spark):
     assert r0[1].lang == "zh" and r0[1].n_dropped == 1
     with pytest.raises(ValueError, match="collide"):
         line_dedup(docs, keep=("n_dropped",))
+
+
+# composed-job e2e (naive-equivalence runs every stage twice): slow tier
+import pytest
+
+pytestmark = pytest.mark.slow
