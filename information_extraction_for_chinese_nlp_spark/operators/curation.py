@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .convert import sample_stratified
-from .dedup import decontaminate, dedup_pipeline, line_dedup
+from .dedup import decontaminate, dedup_pipeline, line_dedup_rewrite
 from .textstats import pii_scrub_col, quality_feature_cols
 
 
@@ -66,7 +66,10 @@ def curate(
     (quality filter) -> (PII scrub) -> (stratified sample); returns the
     surviving rows of ``docs`` with ``text_col`` rewritten/scrubbed.
     Optional stages are skipped when their argument is None/False. One
-    lazy plan; see the module docstring for the scan-count contract.
+    lazy plan — EXCEPT when ``line_dedup_min_df`` is set, whose hot-set
+    discovery (a full corpus pass into an eager checkpoint + a count)
+    runs at CALL time, before any action on the returned frame; see
+    the module docstring for the scan-count contract.
 
     ``line_dedup_min_df`` enables CCNet/C4-style hot-line removal FIRST
     — boilerplate inflates near-dup similarity, so stripping it before
@@ -78,15 +81,9 @@ def curate(
     (strata etc.) ride through ``line_dedup(keep=...)``, never a
     join-back."""
     if line_dedup_min_df is not None:
-        passengers = [c for c in docs.columns if c not in (id_col, text_col)]
-        docs = line_dedup(
-            docs, min_df=line_dedup_min_df, id_col=id_col,
-            text_col=text_col, keep=tuple(passengers),
-        ).select(
-            F.col("doc_id").alias(id_col),
-            *passengers,
-            F.col("text").alias(text_col),
-        ).localCheckpoint(eager=False)
+        docs, _ = line_dedup_rewrite(
+            docs, line_dedup_min_df, id_col=id_col, text_col=text_col
+        )
     out = dedup_pipeline(
         docs, n_bands, rows_per_band, id_col, text_col,
         max_bucket=max_bucket, vectorized=vectorized,

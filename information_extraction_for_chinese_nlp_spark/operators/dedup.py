@@ -927,11 +927,16 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         )
     lines = F.split(F.col(text_col), "\n")
     # collision-proof working names (same suffix discipline as
-    # similarity.unit_vectors's _nrm)
-    hot_col, d_col = "_hot", "_d"
-    while hot_col in docs.columns or d_col in docs.columns:
-        hot_col += "_"
-        d_col += "_"
+    # similarity.unit_vectors's _nrm): ONE suffix clears EVERY leg's
+    # internal name against the caller's columns — passenger columns
+    # named _line/_s/_pos/... must work on every strategy, not crash
+    # only once auto dispatches off the in-row leg at scale
+    _work = ("_hot", "_d", "_s", "_rid", "_pos", "_line", "_lines", "_is_hot")
+    sfx = ""
+    cols = set(docs.columns)
+    while any(n + sfx in cols for n in _work):
+        sfx += "_"
+    hot_col, d_col = "_hot" + sfx, "_d" + sfx
     hot = (
         docs.select(
             F.col(id_col).alias(d_col),
@@ -967,7 +972,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         )
 
     if strategy == "relational":
-        return _line_dedup_relational(docs, hot, lines, id_col, keep)
+        return _line_dedup_relational(docs, hot, lines, id_col, keep, sfx)
 
     if strategy == "hashset":
         hot_set = frozenset(r[0] for r in hot.collect())
@@ -990,13 +995,14 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
             return pd.DataFrame({"text": out_t, "n_dropped": out_n})
 
         struct = drop_hot(F.col(text_col))
+        s_col = "_s" + sfx
         return docs.select(
-            F.col(id_col).alias("doc_id"), *keep, struct.alias("_s")
+            F.col(id_col).alias("doc_id"), *keep, struct.alias(s_col)
         ).select(
             "doc_id",
             *keep,
-            F.col("_s.text").alias("text"),
-            F.col("_s.n_dropped").alias("n_dropped"),
+            F.col(s_col + ".text").alias("text"),
+            F.col(s_col + ".n_dropped").alias("n_dropped"),
         )
 
     hot_row = hot.agg(
@@ -1019,8 +1025,33 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     )
 
 
+def line_dedup_rewrite(docs: DataFrame, min_df: int,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       **kw):
+    """Boilerplate-removal STAGE for composed jobs (curate and the
+    run_dataprep CLI share this — one copy of the sequence): returns
+    ``(rewritten, ld)`` where ``rewritten`` has the caller's column
+    layout (``text_col`` rewritten, passenger columns untouched) and
+    ``ld`` is the raw line_dedup frame (doc_id/…/text/n_dropped) for
+    drop metrics. Both read ONE lazy-checkpoint materialization, so a
+    metric aggregation plus the downstream pipeline cost a single
+    execution of the rewrite. NOTE: calling this (like ``line_dedup``)
+    runs the hot-set discovery pass eagerly."""
+    passengers = [c for c in docs.columns if c not in (id_col, text_col)]
+    ld = line_dedup(
+        docs, min_df=min_df, id_col=id_col, text_col=text_col,
+        keep=tuple(passengers), **kw,
+    ).localCheckpoint(eager=False)
+    rewritten = ld.select(
+        F.col("doc_id").alias(id_col), *passengers,
+        F.col("text").alias(text_col),
+    )
+    return rewritten, ld
+
+
 def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
-                           id_col: str, keep: tuple = ()) -> DataFrame:
+                           id_col: str, keep: tuple = (),
+                           sfx: str = "") -> DataFrame:
     """Unbounded-hot-set leg of :func:`line_dedup`: explode ->
     broadcast hash join (O(1) probe per line) -> order-preserving
     reassembly. posexplode_outer + an aggregation over ALL exploded
@@ -1037,27 +1068,32 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
     # posexplode_outer the nondeterministic id is evaluated per
     # EXPLODED row (one group per line); CollapseProject never merges
     # nondeterministic projections, so this stays an input-row stamp.
+    rid, pos, line = "_rid" + sfx, "_pos" + sfx, "_line" + sfx
+    lines_col, is_hot = "_lines" + sfx, "_is_hot" + sfx
     stamped = docs.select(
-        F.monotonically_increasing_id().alias("_rid"),
+        F.monotonically_increasing_id().alias(rid),
         F.col(id_col).alias("doc_id"),
         *keep,
-        lines.alias("_lines"),
+        lines.alias(lines_col),
     )
     exploded = stamped.select(
-        "_rid",
+        rid,
         "doc_id",
         *keep,
-        F.posexplode_outer(F.col("_lines")).alias("_pos", "_line"),
+        F.posexplode_outer(F.col(lines_col)).alias(pos, line),
     )
-    keep_line = (F.col("_line") == "") | F.col("_is_hot").isNull()
-    was_null = F.max(F.col("_pos").isNull())
+    keep_line = (F.col(line) == "") | F.col(is_hot).isNull()
+    was_null = F.max(F.col(pos).isNull())
     return (
         exploded.join(
-            F.broadcast(hot.withColumn("_is_hot", F.lit(True))),
-            on="_line",
+            F.broadcast(
+                hot.withColumnRenamed("_line", line)
+                .withColumn(is_hot, F.lit(True))
+            ),
+            on=line,
             how="left",
         )
-        .groupBy("_rid")
+        .groupBy(rid)
         .agg(
             F.first("doc_id").alias("doc_id"),
             *[F.first(k).alias(k) for k in keep],
@@ -1067,10 +1103,10 @@ def _line_dedup_relational(docs: DataFrame, hot: DataFrame, lines,
                     F.transform(
                         F.array_sort(
                             F.collect_list(
-                                F.when(keep_line, F.struct("_pos", "_line"))
+                                F.when(keep_line, F.struct(pos, line))
                             )
                         ),
-                        lambda s: s["_line"],
+                        lambda s: s[line],
                     ),
                     "\n",
                 ),

@@ -83,7 +83,7 @@ def main(argv: list[str] | None = None) -> dict:
         decontaminate,
         dedup_exact,
         dedup_pipeline,
-        line_dedup,
+        line_dedup_rewrite,
     )
     from information_extraction_for_chinese_nlp_spark.operators.textstats import (
         quality_features,
@@ -101,20 +101,11 @@ def main(argv: list[str] | None = None) -> dict:
     id_col, text_col = args.id_col, args.text_col
 
     if args.line_dedup_min_df is not None:
-        passengers = [c for c in docs.columns if c not in (id_col, text_col)]
-        ld = line_dedup(
-            docs, min_df=args.line_dedup_min_df, id_col=id_col,
-            text_col=text_col, keep=tuple(passengers),
+        docs, ld = line_dedup_rewrite(
+            docs, args.line_dedup_min_df, id_col=id_col, text_col=text_col
         )
-        # boundary: the rewritten corpus feeds every later stage; the
-        # drop metric and the downstream reads share one materialization
-        ld = ld.localCheckpoint(eager=False)
         metrics["n_hot_lines_dropped"] = int(
             ld.agg(F.sum("n_dropped")).first()[0] or 0
-        )
-        docs = ld.select(
-            F.col("doc_id").alias(id_col), *passengers,
-            F.col("text").alias(text_col),
         )
 
     obs = None

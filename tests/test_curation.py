@@ -103,11 +103,12 @@ def test_curate_custom_text_col(spark, sf_dir):
     assert out2.count() > 0
 
 
-def test_curate_line_dedup_stage(spark):
+def test_curate_line_dedup_stage(spark, tmp_path):
     """line_dedup_min_df strips corpus boilerplate BEFORE banding:
     equals running line_dedup then curate, passenger columns (lang)
     survive without a join-back, and the composed plan still has zero
-    parquet scans above the boundaries."""
+    parquet scans above the boundaries — the fixture is PARQUET-backed
+    so that assertion can actually fail if a boundary is removed."""
     from information_extraction_for_chinese_nlp_spark.operators.dedup import (
         line_dedup,
     )
@@ -116,7 +117,11 @@ def test_curate_line_dedup_stage(spark):
         (i, f"COOKIE BANNER\nunique body {i} words\nFOOTER", "en")
         for i in range(6)
     ] + [(10, "totally distinct document here", "zh")]
-    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "ld_docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
 
     got = curate(docs, line_dedup_min_df=3, scrub=False,
                  n_bands=2, rows_per_band=2, max_bucket=1000)
@@ -139,35 +144,6 @@ def test_curate_line_dedup_stage(spark):
     with contextlib.redirect_stdout(buf):
         got.explain("formatted")
     assert buf.getvalue().count("Scan parquet") == 0
-
-
-def test_line_dedup_keep_columns(spark):
-    """keep= carries passenger columns through ALL THREE strategies
-    unchanged; reserved output names are rejected."""
-    import pytest
-
-    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
-        line_dedup,
-    )
-
-    docs = spark.createDataFrame(
-        [(0, "HOT\na zero\nHOT", "en", 7), (1, "HOT\nb one", "zh", 8),
-         (2, "HOT\nc two", "en", 9)],
-        "doc_id long, text string, lang string, extra int",
-    )
-    outs = {
-        s: sorted(
-            line_dedup(docs, min_df=3, strategy=s,
-                       keep=("lang", "extra")).collect()
-        )
-        for s in ("inrow", "hashset", "relational")
-    }
-    assert outs["inrow"] == outs["hashset"] == outs["relational"]
-    r0 = {r.doc_id: r for r in outs["inrow"]}
-    assert r0[0].lang == "en" and r0[0].extra == 7 and r0[0].text == "a zero"
-    assert r0[1].lang == "zh" and r0[1].n_dropped == 1
-    with pytest.raises(ValueError, match="collide"):
-        line_dedup(docs, keep=("n_dropped",))
 
 
 # composed-job e2e (naive-equivalence runs every stage twice): slow tier

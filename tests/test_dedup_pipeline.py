@@ -297,3 +297,59 @@ def test_line_dedup_clean_corpus_is_identity(spark, sf_dir):
         out, on="doc_id"
     )
     assert joined.filter(F.col("orig") != F.col("text")).count() == 0
+
+
+def test_line_dedup_keep_columns(spark):
+    """keep= carries passenger columns through ALL THREE strategies
+    unchanged — including passengers named after the legs' INTERNAL
+    working columns (_line/_s/_pos...), which the shared suffix
+    discipline must clear on every leg, not just in-row; reserved
+    output names are rejected."""
+    import pytest
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "HOT\na zero\nHOT", "en", 7, "l0", "s0", "p0"),
+         (1, "HOT\nb one", "zh", 8, "l1", "s1", "p1"),
+         (2, "HOT\nc two", "en", 9, "l2", "s2", "p2")],
+        "doc_id long, text string, lang string, extra int, "
+        "_line string, _s string, _pos string",
+    )
+    passengers = ("lang", "extra", "_line", "_s", "_pos")
+    outs = {
+        s: sorted(
+            line_dedup(docs, min_df=3, strategy=s, keep=passengers).collect()
+        )
+        for s in ("inrow", "hashset", "relational")
+    }
+    assert outs["inrow"] == outs["hashset"] == outs["relational"]
+    r0 = {r.doc_id: r for r in outs["inrow"]}
+    assert r0[0].lang == "en" and r0[0].extra == 7 and r0[0].text == "a zero"
+    assert r0[1].lang == "zh" and r0[1].n_dropped == 1
+    assert r0[2]._line == "l2" and r0[2]._s == "s2" and r0[2]._pos == "p2"
+    with pytest.raises(ValueError, match="collide"):
+        line_dedup(docs, keep=("n_dropped",))
+
+
+def test_line_dedup_rewrite_helper(spark):
+    """line_dedup_rewrite (shared by curate and the CLI) preserves the
+    caller's column layout with text rewritten, and its metric frame
+    reports the drops."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"HOT LINE\nbody {i}") for i in range(3)],
+        "doc_id long, lang string, text string",
+    )
+    rewritten, ld = line_dedup_rewrite(docs, 3)
+    assert rewritten.columns == ["doc_id", "lang", "text"]
+    assert {r.text for r in rewritten.collect()} == {
+        "body 0", "body 1", "body 2"}
+    assert ld.agg(F.sum("n_dropped")).first()[0] == 3
