@@ -916,30 +916,14 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     curation job run boilerplate removal without a join-back to
     recover its strata/metadata columns.
     """
-    if strategy not in ("auto", "inrow", "hashset", "relational"):
-        raise ValueError(f"unknown line_dedup strategy {strategy!r}")
-    keep = tuple(keep)
-    reserved = {"doc_id", "text", "n_dropped"}
-    if bad := [k for k in keep if k in reserved]:
-        raise ValueError(
-            f"keep columns {bad} collide with line_dedup's fixed output "
-            "names (doc_id, text, n_dropped) — rename them first"
-        )
+    # the hot-discovery projection emits only its two aliased columns,
+    # so its internal names can stay literal; the membership legs'
+    # names are suffix-cleared in _line_dedup_apply
+    _validate_line_dedup_args(strategy, keep)
     lines = F.split(F.col(text_col), "\n")
-    # collision-proof working names (same suffix discipline as
-    # similarity.unit_vectors's _nrm): ONE suffix clears EVERY leg's
-    # internal name against the caller's columns — passenger columns
-    # named _line/_s/_pos/... must work on every strategy, not crash
-    # only once auto dispatches off the in-row leg at scale
-    _work = ("_hot", "_d", "_s", "_rid", "_pos", "_line", "_lines", "_is_hot")
-    sfx = ""
-    cols = set(docs.columns)
-    while any(n + sfx in cols for n in _work):
-        sfx += "_"
-    hot_col, d_col = "_hot" + sfx, "_d" + sfx
     hot = (
         docs.select(
-            F.col(id_col).alias(d_col),
+            F.col(id_col).alias("_d"),
             F.explode(lines).alias("_line"),
         )
         .filter(F.col("_line") != "")
@@ -950,6 +934,46 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
         .select("_line")
         .localCheckpoint(eager=True)
     )
+    return _line_dedup_apply(
+        docs, hot, strategy=strategy, id_col=id_col, text_col=text_col,
+        max_hot_lines=max_hot_lines, inrow_hot_limit=inrow_hot_limit,
+        keep=keep,
+    )
+
+
+def _validate_line_dedup_args(strategy: str, keep) -> None:
+    if strategy not in ("auto", "inrow", "hashset", "relational"):
+        raise ValueError(f"unknown line_dedup strategy {strategy!r}")
+    reserved = {"doc_id", "text", "n_dropped"}
+    if bad := [k for k in tuple(keep) if k in reserved]:
+        raise ValueError(
+            f"keep columns {bad} collide with line_dedup's fixed output "
+            "names (doc_id, text, n_dropped) — rename them first"
+        )
+
+
+def _line_dedup_apply(docs: DataFrame, hot: DataFrame, *, strategy: str,
+                      id_col: str, text_col: str, max_hot_lines: int,
+                      inrow_hot_limit: int, keep: tuple) -> DataFrame:
+    """Membership/rewrite stage of :func:`line_dedup` against an
+    EXTERNALLY supplied hot-line frame (one column ``_line``, already
+    materialized small) — shared by the batch operator and
+    ``streaming.stream.stream_line_dedup`` so the two faces cannot
+    drift."""
+    _validate_line_dedup_args(strategy, keep)
+    keep = tuple(keep)
+    lines = F.split(F.col(text_col), "\n")
+    # collision-proof working names (same suffix discipline as
+    # similarity.unit_vectors's _nrm): ONE suffix clears EVERY leg's
+    # internal name against the caller's columns — passenger columns
+    # named _line/_s/_pos/... must work on every strategy, not crash
+    # only once auto dispatches off the in-row leg at scale
+    _work = ("_hot", "_s", "_rid", "_pos", "_line", "_lines", "_is_hot")
+    sfx = ""
+    cols = set(docs.columns)
+    while any(n + sfx in cols for n in _work):
+        sfx += "_"
+    hot_col = "_hot" + sfx
     n_hot = hot.count()
     if strategy == "auto":
         # inrow must respect BOTH caps: inrow_hot_limit is the

@@ -17,6 +17,10 @@ Spark-native capability for continuously-arriving transcripts:
   correct cross-batch assembly with out-of-order turns.
 - ``windowed_edge_counts``: event-time tumbling window aggregation with
   a watermark for late data — the monitoring/rollup stream.
+- ``stream_line_dedup``: prefix-consistent boilerplate removal — the
+  hot-line df table accumulates across batches (partials + compacted
+  snapshots, replay-idempotent) and each batch rewrites its documents
+  through the SAME membership legs as the batch operator.
 """
 
 from __future__ import annotations
@@ -210,6 +214,145 @@ def stream_dedup_exact(
                     bid = _batch_dir_id(st)
                     if bid is not None and bid < cutoff:
                         fs.delete(st.getPath(), True)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_line_dedup(
+    docs_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    compact_every: int | None = 10,
+    strategy: str = "auto",
+    max_hot_lines: int = 1_000_000,
+    inrow_hot_limit: int = 2_000,
+):
+    """Streaming face of ``operators.dedup.line_dedup`` — CCNet/C4
+    hot-line (boilerplate) removal over a continuously-arriving corpus
+    with PREFIX semantics: batch N's documents are rewritten against
+    the hot-line set accumulated over batches 0..N (a line becomes
+    boilerplate once its cumulative distinct-doc frequency reaches
+    ``min_df``; documents emitted by earlier batches are never
+    retro-edited — a streaming sink cannot retract). A corpus arriving
+    as ONE batch therefore equals the batch operator exactly (pinned in
+    tests); the membership/rewrite stage IS the batch operator's
+    ``_line_dedup_apply``, so the two faces cannot drift.
+
+    State layout mirrors ``stream_dedup_exact``'s replay discipline
+    (foreachBatch is at-least-once; every write is an overwrite of a
+    batch-id-keyed directory, so replays are idempotent — exactly-once
+    at rest):
+
+    - ``<output>/_df/batch_id=N``: batch N's PARTIAL line dfs (distinct
+      docs within the batch; doc ids are assumed unique across batches,
+      and in-batch redelivery is collapsed by dropDuplicates).
+    - ``<output>/_df_snap/batch_id=N``: every ``compact_every`` batches
+      the FULL cumulative df table snapshots here, then partials at or
+      below the PREVIOUS snapshot and snapshots before it are deleted.
+      Reads always take the latest snapshot STRICTLY BEFORE the current
+      batch plus the partials after it — a replayed batch N still finds
+      snapshot(base) + partials(base, N] intact (its own deletions only
+      touched ids <= base), and its own half-written snapshot at N is
+      ignored (base < N) and overwritten.
+    - ``<output>/batch_id=N``: the rewritten documents
+      (doc_id, *passengers, text, n_dropped).
+    """
+    from ..operators.dedup import _line_dedup_apply
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1 (or None to disable)")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates([id_col])
+        lines = F.split(F.col(text_col), "\n")
+        partial = (
+            batch_df.select(
+                F.col(id_col).alias("_d"), F.explode(lines).alias("_line")
+            )
+            .filter(F.col("_line") != "")
+            .distinct()
+            .groupBy("_line")
+            .agg(F.count("*").alias("_df"))
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{output_path}/_df/batch_id={batch_id}"
+        )
+        fs, _Path, df_root = _hadoop_fs(spark, f"{output_path}/_df")
+        snap_root_s = f"{output_path}/_df_snap"
+        fs_snap, _P, snap_root = _hadoop_fs(spark, snap_root_s)
+        base = None
+        if fs_snap.exists(snap_root):
+            snaps = [
+                bid
+                for st in fs_snap.listStatus(snap_root)
+                if (bid := _batch_dir_id(st)) is not None and bid < batch_id
+            ]
+            base = max(snaps) if snaps else None
+        parts = (
+            spark.read.schema("_line string, _df long, batch_id long")
+            .option("basePath", f"{output_path}/_df")
+            .parquet(f"{output_path}/_df")
+            .filter(
+                (F.col("batch_id") <= batch_id)
+                & (F.col("batch_id") > (base if base is not None else -1))
+            )
+            .select("_line", "_df")
+        )
+        if base is not None:
+            parts = parts.union(
+                spark.read.schema("_line string, _df long, batch_id long")
+                .option("basePath", snap_root_s)
+                .parquet(snap_root_s)
+                .filter(F.col("batch_id") == base)
+                .select("_line", "_df")
+            )
+        # cumulative dfs materialize once: the hot filter, the snapshot
+        # write, and nothing else read them twice otherwise
+        cum = (
+            parts.groupBy("_line")
+            .agg(F.sum("_df").alias("_df"))
+            .localCheckpoint(eager=True)
+        )
+        hot = cum.filter(F.col("_df") >= min_df).select("_line")
+        out = _line_dedup_apply(
+            batch_df, hot, strategy=strategy, id_col=id_col,
+            text_col=text_col, max_hot_lines=max_hot_lines,
+            inrow_hot_limit=inrow_hot_limit,
+            keep=tuple(
+                c for c in batch_df.columns if c not in (id_col, text_col)
+            ),
+        )
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            cum.write.mode("overwrite").parquet(
+                f"{snap_root_s}/batch_id={batch_id}"
+            )
+            if base is not None:
+                for st in fs.listStatus(df_root):
+                    bid = _batch_dir_id(st)
+                    if bid is not None and bid <= base:
+                        fs.delete(st.getPath(), True)
+                for st in fs_snap.listStatus(snap_root):
+                    bid = _batch_dir_id(st)
+                    if bid is not None and bid < base:
+                        fs_snap.delete(st.getPath(), True)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -306,3 +306,98 @@ def test_stream_merge_components_long_ids_and_guard(spark, tmp_path):
 import pytest
 
 pytestmark = pytest.mark.slow
+
+
+def test_stream_line_dedup_single_batch_matches_batch_operator(spark, tmp_path):
+    """A corpus arriving as ONE micro-batch must round-trip exactly as
+    the batch operator (same membership legs by construction)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_line_dedup,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    rows = [(i, f"BANNER\nbody {i}\nFOOT", "en") for i in range(3)] + [
+        (10, "all unique content here", "zh")
+    ]
+    src = str(tmp_path / "ld_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "ld_out")
+    q = stream_line_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        out, str(tmp_path / "ld_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.lang, r.text, r.n_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.text, r.n_dropped)
+        for r in line_dedup(
+            spark.createDataFrame(rows, schema), min_df=3, keep=("lang",)
+        ).select("doc_id", "lang", "text", "n_dropped").collect()
+    }
+    assert got == want
+    assert all("BANNER" not in t and "FOOT" not in t for _, _, t, _ in got)
+
+
+def test_stream_line_dedup_prefix_semantics_and_restart(spark, tmp_path):
+    """A line crosses min_df only once the later batch arrives: the
+    earlier batch's emitted docs keep it (no retraction), the later
+    batch strips it — and a restart on the same checkpoint with no new
+    input changes nothing."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_line_dedup,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "ld2_in")
+    out = str(tmp_path / "ld2_out")
+    ckpt = str(tmp_path / "ld2_ckpt")
+
+    def run():
+        q = stream_line_dedup(
+            spark.readStream.schema(schema).parquet(src), out, ckpt, min_df=3
+        )
+        q.awaitTermination(120)
+
+    # wave 1: PROMO appears in 2 distinct docs — below min_df, kept
+    spark.createDataFrame(
+        [(1, "PROMO\none body"), (2, "PROMO\ntwo body")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    wave1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert wave1[1].text == "PROMO\none body" and wave1[1].n_dropped == 0
+
+    # wave 2: a third distinct doc pushes PROMO to df=3 — stripped from
+    # the NEW doc only; wave 1's emitted rows are untouched
+    spark.createDataFrame(
+        [(3, "PROMO\nthree body")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    all_rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert all_rows[1].text == "PROMO\none body"      # prefix semantics
+    assert all_rows[3].text == "three body"
+    assert all_rows[3].n_dropped == 1
+
+    # restart with nothing new: byte-identical output set
+    run()
+    again = {r.doc_id: (r.text, r.n_dropped)
+             for r in spark.read.parquet(out).collect()}
+    assert again == {i: (r.text, r.n_dropped) for i, r in all_rows.items()}
