@@ -1,6 +1,7 @@
 """Degenerate-cluster caps (default-on, counted drops) and the composed
 exact→LSH→CC→anti-join dedup pipeline."""
 
+import pytest
 from pyspark.sql import Observation
 
 from information_extraction_for_chinese_nlp_spark.operators.dedup import (
@@ -353,3 +354,49 @@ def test_line_dedup_rewrite_helper(spark):
     assert {r.text for r in rewritten.collect()} == {
         "body 0", "body 1", "body 2"}
     assert ld.agg(F.sum("n_dropped")).first()[0] == 3
+
+
+@pytest.mark.slow
+def test_line_dedup_randomized_three_way_oracle(spark):
+    """Seeded random corpora (empty lines, repeated lines, singleton
+    docs, varying min_df) through ALL THREE membership strategies must
+    match an independent pure-Python reference implementation exactly.
+    Slow-ish sweep; the deterministic seeds make failures replayable."""
+    import random
+    from collections import Counter
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    def py_oracle(rows, min_df):
+        df = Counter()
+        for _, text in rows:
+            for line in set(text.split("\n")):
+                if line != "":
+                    df[line] += 1
+        hot = {line for line, c in df.items() if c >= min_df}
+        out = []
+        for i, text in rows:
+            ls = text.split("\n")
+            kept = [x for x in ls if x == "" or x not in hot]
+            out.append((i, "\n".join(kept), len(ls) - len(kept)))
+        return sorted(out)
+
+    for seed, min_df in ((11, 2), (12, 3), (13, 2), (14, 4)):
+        rng = random.Random(seed)
+        vocab = [f"line {j} content" for j in range(10)] + ["", "x"]
+        rows = [
+            (i, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(1, 7))))
+            for i in range(30)
+        ]
+        want = py_oracle(rows, min_df)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for strat in ("inrow", "hashset", "relational"):
+            got = sorted(
+                (r.doc_id, r.text, r.n_dropped)
+                for r in line_dedup(docs, min_df=min_df,
+                                    strategy=strat).collect()
+            )
+            assert got == want, (seed, min_df, strat)
