@@ -916,20 +916,12 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     curation job run boilerplate removal without a join-back to
     recover its strata/metadata columns.
     """
-    # the hot-discovery projection emits only its two aliased columns,
-    # so its internal names can stay literal; the membership legs'
-    # names are suffix-cleared in _line_dedup_apply
+    # tuple ONCE before anything consumes it: a one-shot iterable
+    # passed as keep= must survive both validation and the legs
+    keep = tuple(keep)
     _validate_line_dedup_args(strategy, keep)
-    lines = F.split(F.col(text_col), "\n")
     hot = (
-        docs.select(
-            F.col(id_col).alias("_d"),
-            F.explode(lines).alias("_line"),
-        )
-        .filter(F.col("_line") != "")
-        .distinct()
-        .groupBy("_line")
-        .agg(F.count("*").alias("_df"))
+        _line_df(docs, id_col, text_col)
         .filter(F.col("_df") >= min_df)
         .select("_line")
         .localCheckpoint(eager=True)
@@ -941,11 +933,31 @@ def line_dedup(docs: DataFrame, min_df: int = 3,
     )
 
 
-def _validate_line_dedup_args(strategy: str, keep) -> None:
+def _line_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (_line, _df): per-line DISTINCT-document frequencies — the
+    counting definition shared by batch ``line_dedup`` and
+    ``streaming.stream.stream_line_dedup`` (which writes these as
+    per-batch partials), so what counts as a "hot line" cannot drift
+    between the two faces. The projection emits only its two aliased
+    columns, so the internal names stay literal."""
+    lines = F.split(F.col(text_col), "\n")
+    return (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.explode(lines).alias("_line"),
+        )
+        .filter(F.col("_line") != "")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count("*").alias("_df"))
+    )
+
+
+def _validate_line_dedup_args(strategy: str, keep: tuple) -> None:
     if strategy not in ("auto", "inrow", "hashset", "relational"):
         raise ValueError(f"unknown line_dedup strategy {strategy!r}")
     reserved = {"doc_id", "text", "n_dropped"}
-    if bad := [k for k in tuple(keep) if k in reserved]:
+    if bad := [k for k in keep if k in reserved]:
         raise ValueError(
             f"keep columns {bad} collide with line_dedup's fixed output "
             "names (doc_id, text, n_dropped) — rename them first"

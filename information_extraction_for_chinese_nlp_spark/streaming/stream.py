@@ -257,13 +257,17 @@ def stream_line_dedup(
       docs within the batch; doc ids are assumed unique across batches,
       and in-batch redelivery is collapsed by dropDuplicates).
     - ``<output>/_df_snap/batch_id=N``: every ``compact_every`` batches
-      the FULL cumulative df table snapshots here, then partials at or
-      below the PREVIOUS snapshot and snapshots before it are deleted.
-      Reads always take the latest snapshot STRICTLY BEFORE the current
-      batch plus the partials after it — a replayed batch N still finds
-      snapshot(base) + partials(base, N] intact (its own deletions only
-      touched ids <= base), and its own half-written snapshot at N is
-      ignored (base < N) and overwritten.
+      the FULL cumulative df table snapshots here — completed snapshots
+      carry a ``_SNAPSHOT`` marker written as the replay-idempotent
+      LAST step (a half-written snapshot from a crash is never picked
+      as a base, even if a restart changes ``compact_every`` so the
+      replayed batch no longer compacts) — then partials at or below
+      the PREVIOUS marked snapshot and snapshots before it are
+      deleted. Reads always take the latest MARKED snapshot STRICTLY
+      BEFORE the current batch plus the partials after it — a replayed
+      batch N still finds snapshot(base) + partials(base, N] intact
+      (its own deletions only touched ids <= base), and its own
+      snapshot at N is ignored (base < N) and rewritten.
     - ``<output>/batch_id=N``: the rewritten documents
       (doc_id, *passengers, text, n_dropped).
     """
@@ -273,18 +277,15 @@ def stream_line_dedup(
         raise ValueError("compact_every must be >= 1 (or None to disable)")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import _line_df
+
         spark = batch_df.sparkSession
-        batch_df = batch_df.dropDuplicates([id_col])
-        lines = F.split(F.col(text_col), "\n")
-        partial = (
-            batch_df.select(
-                F.col(id_col).alias("_d"), F.explode(lines).alias("_line")
-            )
-            .filter(F.col("_line") != "")
-            .distinct()
-            .groupBy("_line")
-            .agg(F.count("*").alias("_df"))
-        )
+        # cache: dropDuplicates is tie-nondeterministic and the frame is
+        # consumed twice (df-state write + document rewrite) — without a
+        # pinned evaluation a duplicate id with DIFFERENT texts could
+        # count one text's lines into state while emitting the other
+        batch_df = batch_df.dropDuplicates([id_col]).cache()
+        partial = _line_df(batch_df, id_col, text_col)
         partial.write.mode("overwrite").parquet(
             f"{output_path}/_df/batch_id={batch_id}"
         )
@@ -296,7 +297,11 @@ def stream_line_dedup(
             snaps = [
                 bid
                 for st in fs_snap.listStatus(snap_root)
-                if (bid := _batch_dir_id(st)) is not None and bid < batch_id
+                if (bid := _batch_dir_id(st)) is not None
+                and bid < batch_id
+                and fs_snap.exists(
+                    _Path(f"{snap_root_s}/batch_id={bid}/_SNAPSHOT")
+                )
             ]
             base = max(snaps) if snaps else None
         parts = (
@@ -317,14 +322,15 @@ def stream_line_dedup(
                 .filter(F.col("batch_id") == base)
                 .select("_line", "_df")
             )
-        # cumulative dfs materialize once: the hot filter, the snapshot
-        # write, and nothing else read them twice otherwise
-        cum = (
-            parts.groupBy("_line")
-            .agg(F.sum("_df").alias("_df"))
+        cum = parts.groupBy("_line").agg(F.sum("_df").alias("_df"))
+        # only the SMALL hot subset materializes per batch; the full
+        # cumulative table is evaluated again only on the 1-in-
+        # compact_every batches that snapshot it
+        hot = (
+            cum.filter(F.col("_df") >= min_df)
+            .select("_line")
             .localCheckpoint(eager=True)
         )
-        hot = cum.filter(F.col("_df") >= min_df).select("_line")
         out = _line_dedup_apply(
             batch_df, hot, strategy=strategy, id_col=id_col,
             text_col=text_col, max_hot_lines=max_hot_lines,
@@ -336,6 +342,7 @@ def stream_line_dedup(
         out.write.mode("overwrite").parquet(
             f"{output_path}/batch_id={batch_id}"
         )
+        batch_df.unpersist()
         if (
             compact_every is not None
             and batch_id > 0
@@ -344,6 +351,11 @@ def stream_line_dedup(
             cum.write.mode("overwrite").parquet(
                 f"{snap_root_s}/batch_id={batch_id}"
             )
+            # marker LAST (replay-idempotent): a crash before this line
+            # leaves an unmarked dir no future batch will read as base
+            fs_snap.create(
+                _Path(f"{snap_root_s}/batch_id={batch_id}/_SNAPSHOT"), True
+            ).close()
             if base is not None:
                 for st in fs.listStatus(df_root):
                     bid = _batch_dir_id(st)

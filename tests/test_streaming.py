@@ -401,3 +401,68 @@ def test_stream_line_dedup_prefix_semantics_and_restart(spark, tmp_path):
     again = {r.doc_id: (r.text, r.n_dropped)
              for r in spark.read.parquet(out).collect()}
     assert again == {i: (r.text, r.n_dropped) for i, r in all_rows.items()}
+
+
+def test_stream_line_dedup_compaction_bounds_state(spark, tmp_path):
+    """>compact_every batches through the hot-line state: partial-df
+    directories fold into MARKED snapshots (bounded listing), the
+    post-compaction batches still see the full cumulative dfs (docs
+    after the min_df crossing are stripped; the first batch's docs,
+    emitted before the crossing, keep the line — prefix semantics),
+    and a restart adds nothing."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_line_dedup,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "ld3_in")
+    n_batches = 7
+    for b in range(n_batches):
+        batch = [(b * 10 + i, f"HOT LINE\nbody {b}-{i}") for i in range(2)]
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "ld3_out")
+    ckpt = str(tmp_path / "ld3_ckpt")
+
+    def run():
+        q = stream_line_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            out, ckpt, min_df=3, compact_every=2,
+        )
+        q.awaitTermination(180)
+
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == n_batches * 2
+    with_hot = [r for r in rows if "HOT LINE" in r.text]
+    # whichever file went first: its 2 docs saw df=2 < 3 and keep the
+    # line; every later batch (cumulative df >= 4) strips it
+    assert len(with_hot) == 2
+    assert {r.n_dropped for r in with_hot} == {0}
+    assert all(r.n_dropped == 1 for r in rows if "HOT LINE" not in r.text)
+
+    df_dirs = [d for d in os.listdir(os.path.join(out, "_df"))
+               if d.startswith("batch_id=")]
+    assert len(df_dirs) < n_batches, df_dirs   # olds folded into snapshots
+    snap_dirs = [d for d in os.listdir(os.path.join(out, "_df_snap"))
+                 if d.startswith("batch_id=")]
+    assert snap_dirs, "no snapshot written"
+    # every snapshot a future batch could pick as base is MARKED
+    assert any(
+        os.path.exists(os.path.join(out, "_df_snap", d, "_SNAPSHOT"))
+        for d in snap_dirs
+    )
+
+    run()  # restart, no new input
+    rows2 = spark.read.parquet(out).collect()
+    assert {(r.doc_id, r.text, r.n_dropped) for r in rows2} == {
+        (r.doc_id, r.text, r.n_dropped) for r in rows
+    }
