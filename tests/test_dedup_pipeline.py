@@ -223,6 +223,17 @@ def test_line_dedup_boilerplate_removal(spark):
     )
     with pytest.raises(ValueError, match="strategy"):
         line_dedup(docs, strategy="bogus")
+    # auto's middle band: n_hot above inrow_hot_limit but inside the
+    # broadcast budget dispatches to the hashset leg — identical rows
+    base = sorted(line_dedup(docs, min_df=3).collect())
+    assert sorted(
+        line_dedup(docs, min_df=3, inrow_hot_limit=0).collect()
+    ) == base
+    # ... and a budget below the hot-set size pushes auto to relational
+    assert sorted(
+        line_dedup(docs, min_df=3, inrow_hot_limit=0,
+                   max_hot_lines=1).collect()
+    ) == base
 
 
 def test_line_dedup_strategy_parity(spark):
