@@ -236,6 +236,7 @@ def stream_line_dedup(
     strategy: str = "auto",
     max_hot_lines: int = 1_000_000,
     inrow_hot_limit: int = 2_000,
+    broadcast_hot_limit: int = 4_000_000,
 ):
     """Streaming face of ``operators.dedup.line_dedup`` — CCNet/C4
     hot-line (boilerplate) removal over a continuously-arriving corpus
@@ -271,20 +272,48 @@ def stream_line_dedup(
     - ``<output>/batch_id=N``: the rewritten documents
       (doc_id, *passengers, text, n_dropped).
     """
-    from ..operators.dedup import _line_dedup_apply
+    from ..operators.dedup import _line_dedup_apply, _validate_line_dedup_args
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1 (or None to disable)")
+    # fail BEFORE the stream starts (mirrors the compact_every
+    # pre-check): a bad strategy or a passenger column colliding with
+    # the fixed output names (doc_id/text/n_dropped) would otherwise
+    # surface only inside foreachBatch, killing the query at its first
+    # micro-batch after checkpoint state already exists
+    for col in (id_col, text_col):
+        if col not in docs_stream.columns:
+            raise ValueError(
+                f"stream_line_dedup: column {col!r} not in input stream "
+                f"schema {docs_stream.columns}"
+            )
+    passengers = tuple(
+        c for c in docs_stream.columns if c not in (id_col, text_col)
+    )
+    _validate_line_dedup_args(strategy, passengers)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import _line_df
 
         spark = batch_df.sparkSession
-        # cache: dropDuplicates is tie-nondeterministic and the frame is
-        # consumed twice (df-state write + document rewrite) — without a
-        # pinned evaluation a duplicate id with DIFFERENT texts could
-        # count one text's lines into state while emitting the other
-        batch_df = batch_df.dropDuplicates([id_col]).cache()
+        # in-batch redelivery collapse. DETERMINISTIC tie (max over the
+        # struct of non-id columns), not dropDuplicates: the frame is
+        # consumed twice (df-state write + document rewrite), and a
+        # tie-nondeterministic pick pinned only by .cache() can diverge
+        # if a cached partition is evicted/lost between the two reads —
+        # or on an at-least-once REPLAY, silently rewriting a different
+        # text for the same doc. With an ordered tie the two reads (and
+        # any replay) agree by construction; cache below is perf-only.
+        others = [c for c in batch_df.columns if c != id_col]
+        row_s = "_row"
+        while row_s in batch_df.columns:
+            row_s += "_"
+        batch_df = (
+            batch_df.groupBy(id_col)
+            .agg(F.max(F.struct(*others)).alias(row_s))
+            .select(id_col, *[F.col(f"{row_s}.{c}").alias(c) for c in others])
+            .cache()
+        )
         partial = _line_df(batch_df, id_col, text_col)
         partial.write.mode("overwrite").parquet(
             f"{output_path}/_df/batch_id={batch_id}"
@@ -335,6 +364,7 @@ def stream_line_dedup(
             batch_df, hot, strategy=strategy, id_col=id_col,
             text_col=text_col, max_hot_lines=max_hot_lines,
             inrow_hot_limit=inrow_hot_limit,
+            broadcast_hot_limit=broadcast_hot_limit,
             keep=tuple(
                 c for c in batch_df.columns if c not in (id_col, text_col)
             ),

@@ -466,3 +466,55 @@ def test_stream_line_dedup_compaction_bounds_state(spark, tmp_path):
     assert {(r.doc_id, r.text, r.n_dropped) for r in rows2} == {
         (r.doc_id, r.text, r.n_dropped) for r in rows
     }
+
+
+def test_stream_line_dedup_prevalidates_and_dedups_deterministically(
+        spark, tmp_path):
+    """(ADVICE r6) Bad inputs fail BEFORE the stream starts — not at the
+    first micro-batch after checkpoint state exists; and in-batch
+    duplicate ids collapse by a DETERMINISTIC ordered tie (max over the
+    non-id struct), so the df-state write and the document rewrite can
+    never observe different duplicates."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_line_dedup,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "ldv_in")
+    spark.createDataFrame(
+        [(1, "PROMO\nAAA"), (1, "PROMO\nZZZ")], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    # strategy typo: before start, no checkpoint dir
+    with pytest.raises(ValueError, match="strategy"):
+        stream_line_dedup(stream, str(tmp_path / "o1"),
+                          str(tmp_path / "c1"), strategy="bogus")
+    # passenger column colliding with a fixed output name: before start
+    bad = StructType(schema.fields + [StructField("n_dropped", LongType())])
+    with pytest.raises(ValueError, match="n_dropped"):
+        stream_line_dedup(
+            spark.readStream.schema(bad).parquet(src),
+            str(tmp_path / "o2"), str(tmp_path / "c2"))
+    # missing id column: before start
+    with pytest.raises(ValueError, match="'uid'"):
+        stream_line_dedup(stream, str(tmp_path / "o3"),
+                          str(tmp_path / "c3"), id_col="uid")
+    assert not (tmp_path / "c1").exists()
+    assert not (tmp_path / "c2").exists()
+    assert not (tmp_path / "c3").exists()
+
+    # deterministic duplicate collapse: the ordered tie picks the MAX
+    # struct — here text 'PROMO\nZZZ' — on every run/replay
+    out = str(tmp_path / "ldv_out")
+    q = stream_line_dedup(stream, out, str(tmp_path / "ldv_ckpt"),
+                          min_df=3)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "PROMO\nZZZ" and rows[0].n_dropped == 0
