@@ -61,7 +61,7 @@ _MINHASH_PAIRS_SELECT = """
     """
 
 
-@register_extra(
+@register(
     "minhash_signatures",
     """
     WITH words AS (
@@ -83,7 +83,7 @@ def minhash_signatures_q(spark, sf_dir):
     return out.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
-@register(
+@register_extra(
     "minhash_lsh_pairs",
     f"WITH {_minhash_band_ctes(4)}{_MINHASH_PAIRS_SELECT}",
 )
@@ -208,7 +208,7 @@ _SIMHASH16_SELECT = """
     """
 
 
-@register_extra(
+@register(
     "simhash",
     f"WITH {_simhash16_fp_sql()}{_SIMHASH16_SELECT}",
 )
@@ -231,7 +231,7 @@ def simhash_vectorized_q(spark, sf_dir):
     return simhash_np(load(spark, sf_dir, "documents"), n_bits=16)
 
 
-@register(
+@register_extra(
     "simhash_near_pairs",
     f"""
     WITH {_simhash16_fp_sql()},

@@ -509,7 +509,7 @@ def _sweep_gold_values() -> str:
     return ", ".join(f"('{d}', '{p}', {s}, {e})" for d, p, s, e in _SWEEP_GOLD)
 
 
-@register(
+@register_extra(
     "threshold_sweep",
     f"""
     WITH pred AS (

@@ -154,7 +154,7 @@ def threshold_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "top1_per_group",
     """
     SELECT user_id, event_type, event_id, value
@@ -237,7 +237,7 @@ def span_eval_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "split_counts",
     """
     WITH ranked AS (
@@ -305,7 +305,7 @@ def split_hash_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "sort_rank",
     """
     SELECT user_id, event_id,
@@ -328,7 +328,7 @@ def sort_rank(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "distinct_types",
     """
     SELECT user_id, count(DISTINCT event_type) AS n_types
@@ -348,7 +348,7 @@ def distinct_types(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "error_rate",
     """
     SELECT round(avg(CASE WHEN value < 50 THEN 1.0 ELSE 0.0 END), 6) AS err_rate,
