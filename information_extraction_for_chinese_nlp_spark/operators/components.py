@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -147,12 +148,51 @@ def connected_components(
         raise
 
 
+def _local_components(edge_rows) -> list:
+    """Driver-side union-find over a SMALL edge list (the contraction
+    graph of a merge fold), components labeled by min member id —
+    byte-for-byte the labeling :func:`connected_components` produces on
+    the same edges. Invariant: a tree's root is always the minimum
+    element of its component (union parents the smaller root), so
+    ``find(n)`` is the min member. Self-loop rows are skipped entirely,
+    and loop-only nodes are never emitted — matching the distributed
+    operator's ``a != b`` edge filter. Python's ``<`` on str compares
+    code points, which equals Spark's default UTF8-binary ordering
+    (UTF-8 byte order preserves code-point order), so string component
+    ids agree with ``F.min`` too."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a == b:
+            continue
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return [(n, find(n)) for n in parent]
+
+
 def merge_components(
     prev_labels: DataFrame,
     new_edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_fold_threshold: int | None = 20_000,
 ) -> DataFrame:
     """Incremental connected components: fold a batch of new edges into a
     converged (node, component) labeling WITHOUT re-running CC over the
@@ -171,7 +211,20 @@ def merge_components(
 
     Equivalence with a full recompute over the union graph is
     pytest-pinned (random planted graphs) and DuckDB-oracled.
-    """
+
+    ``local_fold_threshold``: the contraction graph is bounded by the
+    NEW BATCH, not the accumulated graph — at ingest cadence it is
+    usually a few thousand edges, where the distributed iteration's
+    floor (~2 actions per round: join+groupBy materialization and a
+    convergence probe, each a full scheduler round-trip) dominates wall
+    time. At or under this many contracted edges the fold collects them
+    once and runs a driver-side union-find (:func:`_local_components`),
+    broadcasting the tiny relabel map back — one action instead of
+    ~2+2·rounds, identical labeling (parity pytest-pinned). The probe
+    is a single ``limit(threshold+1).collect()``: if it comes back
+    full, the batch is genuinely large and the iterative distributed
+    path runs as before. ``None`` disables the probe (always
+    distributed — the pre-round-7 behavior)."""
     # self-loops carry no connectivity and would otherwise surface their
     # node as a spurious singleton (connected_components never emits
     # loop-only nodes — keep the same contract)
@@ -191,9 +244,28 @@ def merge_components(
             F.coalesce("_cd", "_d").alias("dst"),
         )
     )
-    relabel = connected_components(contracted, max_iter=max_iter).select(
-        F.col("node").alias("_key"), F.col("component").alias("_new")
-    )
+    local_fold = False
+    relabel = None
+    if local_fold_threshold is not None:
+        probe = contracted.limit(local_fold_threshold + 1).collect()
+        if len(probe) <= local_fold_threshold:
+            pairs = _local_components((r[0], r[1]) for r in probe)
+            id_type = contracted.schema["src"].dataType
+            schema = T.StructType([
+                T.StructField("_key", id_type, True),
+                T.StructField("_new", id_type, True),
+            ])
+            relabel = F.broadcast(
+                prev_labels.sparkSession.createDataFrame(pairs, schema)
+            )
+            local_fold = True
+        # else: probe came back full — large batch, fall through to the
+        # iterative distributed path (contracted recomputes its two
+        # label joins once more; negligible next to the iteration).
+    if relabel is None:
+        relabel = connected_components(contracted, max_iter=max_iter).select(
+            F.col("node").alias("_key"), F.col("component").alias("_new")
+        )
 
     # old nodes: relabel through their component id (untouched components
     # are absent from the map -> keep their label)
@@ -206,12 +278,28 @@ def merge_components(
         )
     )
     # brand-new nodes: endpoints of new edges never seen before
-    new_nodes = (
+    cand = (
         new_edges.select(F.col(src).alias("node"))
         .union(new_edges.select(F.col(dst).alias("node")))
         .distinct()
-        .join(prev_labels.select("node"), on="node", how="left_anti")
     )
+    if local_fold:
+        # small-batch shape: the naive left_anti below must SHUFFLE all
+        # of prev_labels (anti joins only broadcast their right side,
+        # and prev_labels is the big accumulated graph) — at ingest
+        # cadence that shuffle IS the fold cost. Flip it: broadcast the
+        # batch-bounded candidate set into one shuffle-free scan of
+        # prev_labels to find which candidates are old, then anti-join
+        # two tiny frames. prev_labels is scanned, never exchanged.
+        seen = prev_labels.select("node").join(F.broadcast(cand), on="node")
+        new_nodes = cand.join(F.broadcast(seen), on="node", how="left_anti")
+    else:
+        # big-batch fallback: cand may exceed the broadcast budget, so
+        # pay the classic anti join (both sides exchange on node) —
+        # amortized by the large batch that forced this path.
+        new_nodes = cand.join(
+            prev_labels.select("node"), on="node", how="left_anti"
+        )
     labeled_new = (
         new_nodes.join(relabel, new_nodes["node"] == relabel["_key"], "left")
         .select("node", F.coalesce("_new", "node").alias("component"))

@@ -109,6 +109,72 @@ def test_merge_components_cases(spark):
         "x": "x", "y": "x",
     }
 
+def test_merge_components_local_fold_parity(spark):
+    """The driver-side union-find fast path (default: contraction graph
+    under local_fold_threshold) must produce the IDENTICAL labeling as
+    the distributed iterative path (threshold=None) and as a full
+    recompute — same random graph as the recompute test, all three
+    pairwise equal."""
+    import random
+
+    rnd = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    all_edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(110)]
+    old, new = all_edges[:70], all_edges[70:]
+    old_df = spark.createDataFrame(old, "src string, dst string")
+    new_df = spark.createDataFrame(new, "src string, dst string")
+
+    prev = connected_components(
+        old_df.filter("src != dst")
+    ).localCheckpoint()
+    local = sorted(map(tuple, merge_components(prev, new_df).collect()))
+    dist = sorted(map(tuple, merge_components(
+        prev, new_df, local_fold_threshold=None
+    ).collect()))
+    full = sorted(map(tuple, connected_components(
+        old_df.union(new_df)
+    ).collect()))
+    assert local == dist == full
+
+
+def test_merge_components_probe_fallback(spark):
+    """A threshold smaller than the contraction graph must fall back to
+    the distributed path (the limit-probe comes back full) and still
+    produce the same labeling."""
+    old = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")],
+        "src string, dst string",
+    )
+    prev = connected_components(old)
+    new = spark.createDataFrame(
+        [("b", "c"), ("f", "g"), ("p", "q")], "src string, dst string"
+    )
+    tiny = sorted(map(tuple, merge_components(
+        prev, new, local_fold_threshold=1
+    ).collect()))
+    default = sorted(map(tuple, merge_components(prev, new).collect()))
+    assert tiny == default
+
+
+def test_local_components_matches_distributed_semantics():
+    """_local_components unit contract: min-member labeling, self-loop
+    rows skipped, loop-only nodes never emitted."""
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        _local_components,
+    )
+
+    got = dict(_local_components([
+        ("b", "a"), ("c", "b"),       # chain -> min 'a'
+        ("z", "z"),                   # loop-only node: not emitted
+        ("m", "n"), ("n", "m"),       # duplicate/reversed edge
+    ]))
+    assert got == {"a": "a", "b": "a", "c": "a", "m": "m", "n": "m"}
+
+    # long ids: numeric min, not lexicographic
+    got2 = dict(_local_components([(10, 2), (2, 100)]))
+    assert got2 == {2: 2, 10: 2, 100: 2}
+
+
 # e2e / streaming / property-heavy: excluded from the fast inner-loop tier
 import pytest
 
