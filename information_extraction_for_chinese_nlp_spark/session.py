@@ -41,6 +41,20 @@ def get_spark(
         # re-plans from actual map output sizes.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES (minPartitionSize
+        # default 1m). Our hot stages are CPU-bound pandas UDFs where 1 MB
+        # of text is seconds of compute, so byte-coalescing starves cores:
+        # the fused extraction stage ran on 3 of 32 partitions. Paired
+        # interleaved A/B (r7, min-of-4/cell, sf0.1): 64k floor wins the
+        # Python-stage-bound keys big (q2c 5.22->2.09s, q4c 4.90->1.93s,
+        # q1 1.68->1.38s, q8 10.02->8.54s); the one payer is iterative
+        # full CC (q10 10.39->11.56s, shuffle-light tiny iterations x
+        # more tasks). An explicit repartition(32) matched the q1 gain
+        # but costs an extra Exchange at scale. Coalescing can only
+        # shrink below shuffle.partitions, so the worst case stays
+        # bounded at `shuffle_partitions` tasks — and at real 100 TB
+        # partition sizes the floor is never the binding constraint.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDF / mapInPandas boundaries (the scorer).

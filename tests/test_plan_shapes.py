@@ -169,3 +169,29 @@ def test_vectorized_minhash_cuts_shuffles(spark, sf_dir):
         vec.count("Exchange"), cat.count("Exchange"))
     assert vec.count("MapInPandas") == 1
     assert "Join" not in vec and "Join" not in cat
+
+
+def test_aqe_floor_keeps_cpu_stage_wide(spark):
+    """The session must pin AQE's coalesce floor to 64k: the default
+    1m byte floor coalesced the post-assembly shuffle to 3 of 32
+    partitions, starving the CPU-bound fused-extraction stage
+    (measured r7 at sf0.1: q1 1.97s -> 1.23s). The floor, not an
+    explicit repartition, is the fix — repartition(32) matched the
+    wall time but plans an extra Exchange at scale."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+        == "64k"
+    )
+    # Behavioral half: a shuffle whose map output lands between the 64k
+    # floor and the 1m default must NOT collapse to one partition.
+    # 1024 groups x ~600-byte payload ≈ 600k of shuffle bytes.
+    df = (
+        spark.range(1024)
+        .withColumn("g", F.col("id"))
+        .withColumn("payload", F.repeat(F.lit("x"), 600))
+        .groupBy("g")
+        .agg(F.first("payload").alias("p"))
+    )
+    df.collect()
+    nparts = df.rdd.getNumPartitions()
+    assert nparts >= 4, nparts
