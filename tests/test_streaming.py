@@ -518,3 +518,82 @@ def test_stream_line_dedup_prevalidates_and_dedups_deterministically(
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert rows[0].text == "PROMO\nZZZ" and rows[0].n_dropped == 0
+
+
+@pytest.mark.slow
+def test_stream_dedup_soak_50_batches_bounded_state_flat_wall(spark, tmp_path):
+    """Long-horizon soak (VERDICT r6 task 5): 60 micro-batches through
+    stream_dedup_exact. Pins the two properties a long-lived stream
+    needs that few-cycle tests can't: (a) the _seen state listing stays
+    bounded (dirs AND files) after many compaction cycles, (b) per-batch
+    wall stays flat — the failure mode is the pre-compaction O(batches)
+    listing/read growth, which at batch 50+ would dominate. Output
+    still equals the batch operator on the concatenated input."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import dedup_exact
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_dedup_exact,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "docs_in")
+    n_batches = 60
+    all_rows = []
+    for b in range(n_batches):
+        # ~60% repeats of earlier texts, ~40% new — state grows steadily
+        batch = [
+            (b * 100 + i, f"text-{(b * 2 + i) % (20 + b)}") for i in range(5)
+        ]
+        all_rows.extend(batch)
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "uniq")
+    q = stream_dedup_exact(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        out, str(tmp_path / "ckpt"), compact_every=5,
+    )
+    q.awaitTermination(600)
+
+    # correctness over the long horizon: one survivor per distinct
+    # text, and the batch operator (hash summary) agrees on the group
+    # count over the concatenated input
+    expected_texts = {t for _, t in all_rows}
+    stream_rows = spark.read.parquet(out).collect()
+    assert {r.text for r in stream_rows} == expected_texts
+    assert len(stream_rows) == len(expected_texts)
+    assert dedup_exact(
+        spark.createDataFrame(all_rows, schema), text_col="text"
+    ).count() == len(expected_texts)
+
+    # (a) bounded state: dir count <= ~2*compact_every+1 regardless of
+    # the 60-batch horizon; total file count bounded too (listing cost
+    # is what a long-lived stream actually pays per batch)
+    seen_root = os.path.join(out, "_seen")
+    seen_dirs = [d for d in os.listdir(seen_root) if d.startswith("batch_id=")]
+    assert len(seen_dirs) <= 2 * 5 + 1, sorted(seen_dirs)
+    n_files = sum(
+        len(os.listdir(os.path.join(seen_root, d))) for d in seen_dirs
+    )
+    assert n_files <= 16 * len(seen_dirs), n_files
+
+    # (b) flat per-batch wall: the tail must not drift up vs the early
+    # steady state. Medians + a generous 3x band absorb co-tenant noise;
+    # the guarded-against failure (linear listing growth) shows >5x by
+    # batch 50 at this size.
+    prog = [
+        (p["batchId"], p["durationMs"]["triggerExecution"])
+        for p in (q.recentProgress or [])
+        if p.get("durationMs") and p.get("numInputRows", 0) > 0
+    ]
+    assert len(prog) >= 40, len(prog)
+    prog.sort()
+    times = [t for _, t in prog]
+    early = sorted(times[5:20])[len(times[5:20]) // 2]
+    tail = sorted(times[-10:])[5]
+    assert tail <= 3.0 * early, (early, tail, times)
