@@ -603,7 +603,7 @@ def run_skew_ab() -> None:
         f.write("\n".join(lines))
 
 
-def _cc_setup(spark):
+def _cc_setup(spark, n_nodes: int | None = None):
     """Build the accumulated-graph state ONCE (outside the timed
     queries): base edges, converged labels (what a real ingest run reads
     from its persisted vertex table), and the 1% new-edge batch."""
@@ -613,11 +613,12 @@ def _cc_setup(spark):
         connected_components,
     )
 
-    ids = spark.range(CC_NODES)
+    n_nodes = n_nodes or CC_NODES
+    ids = spark.range(n_nodes)
     base = ids.filter((F.col("id") % 8) != 7).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-    batch = spark.range(CC_NODES // 100).select(
+    batch = spark.range(n_nodes // 100).select(
         (F.col("id") * 16).alias("src"),
         (F.col("id") * 16 + 8).alias("dst"),
     )
@@ -780,6 +781,125 @@ def run_scaling() -> None:
                       "turns_per_sec_32": round(tp32, 1)}))
 
 
+SF1_DIR = os.environ.get("BENCH_SF1_DIR", "/tmp/sf1_fixture")
+
+
+def _build_sf1(spark) -> None:
+    """Deterministic 10x fixture from the sf0.1 tables: each replica
+    remaps ids into a disjoint range and salts the text with a replica
+    marker so the corpus does NOT become 10 exact copies (which would
+    collapse into dedup_exact's job and flatter the near-dup caps).
+    Written as parquet so scans/pushdown behave exactly like the sf0.1
+    leg."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    done = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    docs10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("\nREPLICA-%d" % i)).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(10)
+        ],
+    )
+    docs10.write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet"))
+    emb10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding", "label",
+            )
+            for i in range(10)
+        ],
+    )
+    emb10.write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet"))
+    open(done, "w").close()
+
+
+def run_sf1() -> None:
+    """VERDICT r6 task 3: one sf1.0 leg for the 5 most expensive keys,
+    timed against a same-session sf0.1 leg so the ratio is same-load.
+    A clean 10x input should land near 10x wall (+noise); ratios past
+    ~12x flag a constant floor or super-linear term the sf0.1 table
+    hides. Appends the table to BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_pairs_wide,
+    )
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ann_topk,
+    )
+    from information_extraction_for_chinese_nlp_spark.session import get_spark
+
+    spark = get_spark("bench-sf1", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    _build_sf1(spark)
+
+    def legs(docs, emb, cc_state):
+        queries = emb.filter(F.col("vec_id") < 100)
+        return {
+            "q3_ngram_jaccard": lambda: ngram_jaccard_pairs(
+                docs, n=3, threshold=0.1, max_df=100).count(),
+            "q4c_simhash64_vec": lambda: simhash_near_pairs_wide(
+                docs, n_bands=8, max_hamming=7, max_bucket=1000,
+                vectorized=True).count(),
+            "q5b_lsh_ann": lambda: ann_topk(
+                emb, queries, k=10, n_planes=6, max_hamming=1).count(),
+            "q8_dataprep": lambda: _dataprep_count(spark, docs),
+            "q10_cc_full": lambda: _cc_full(spark, cc_state).count(),
+        }
+
+    results: dict[str, dict[str, float]] = {}
+    for label, sfdir, cc_nodes in (
+        ("sf0.1", SF_DIR, CC_NODES),
+        ("sf1", SF1_DIR, CC_NODES * 10),
+    ):
+        docs = spark.read.parquet(os.path.join(sfdir, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
+        cc_state = _cc_setup(spark, n_nodes=cc_nodes)
+        for key, fn in legs(docs, emb, cc_state).items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            results.setdefault(key, {})[label] = round(best, 2)
+            print(json.dumps({"leg": label, "key": key, "sec": round(best, 2)}))
+
+    lines = [
+        "",
+        "## sf1.0 leg for the top-5 expensive keys (round 7; 10x salted-replica",
+        "fixture, same-session sf0.1 reference, min-of-2, local[%d])" % CPUS,
+        "",
+        "| key | sf0.1 | sf1 | ratio (10x data) |",
+        "|---|---|---|---|",
+    ]
+    for key, r in results.items():
+        ratio = r["sf1"] / r["sf0.1"] if r["sf0.1"] else float("nan")
+        flag = " **> 12x**" if ratio > 12 else ""
+        lines.append("| %s | %.2f | %.2f | %.1fx%s |" % (
+            key, r["sf0.1"], r["sf1"], ratio, flag))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({k: v for k, v in results.items()}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
@@ -793,5 +913,7 @@ if __name__ == "__main__":
         run_ann_ab()
     elif "--skew-ab" in sys.argv:
         run_skew_ab()
+    elif "--sf1" in sys.argv:
+        run_sf1()
     else:
         print(json.dumps(run_bench()))
