@@ -279,3 +279,60 @@ def chunk_quarantine(spark, sf_dir):
             "status"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triple-level knowledge fusion (noisy-or): one edge per fact with
+# evidence-combined confidence + provenance aggregates. Fixture derives
+# deterministic (subj, pred, obj, prob) assertions from the events
+# table (identically on both sides), so the oracle checks the FUSION
+# math, not the extraction stub. prob = value/19 (NOT a power-of-10
+# divisor): 2-dp values over a terminating divisor make the noisy-or
+# product land EXACTLY on 6-dp round-half boundaries, where JVM-vs-
+# DuckDB last-ulp noise flips the rounded digit (measured: 3/2500
+# groups at /20). Extra tier: the primary window is at
+# the driver's 50-gate cap — rotation candidate for round 8.
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "triple_fusion",
+    """
+    WITH triples AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS obj,
+             least(0.95, value / 19.0) AS prob,
+             event_id AS doc_id
+      FROM events
+    )
+    SELECT subj, pred, obj,
+           round(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))), 6) AS fused_prob,
+           count(*) AS n_mentions,
+           count(DISTINCT doc_id) AS n_docs,
+           round(max(prob), 6) AS max_prob,
+           min(doc_id) AS first_doc
+    FROM triples
+    GROUP BY subj, pred, obj
+    """,
+)
+def triple_fusion(spark, sf_dir):
+    from ..operators.fusion import fuse_triples
+
+    ev = load(spark, sf_dir, "events")
+    triples = ev.select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        (F.regexp_extract("props", '"k": (\\d+)', 1).cast("long") % 10).alias(
+            "obj"
+        ),
+        F.least(F.lit(0.95), F.col("value") / 19.0).alias("prob"),
+        F.col("event_id").alias("doc_id"),
+    )
+    fused = fuse_triples(triples)
+    return fused.select(
+        "subj", "pred", "obj",
+        F.round("fused_prob", 6).alias("fused_prob"),
+        "n_mentions", "n_docs",
+        F.round("max_prob", 6).alias("max_prob"),
+        "first_doc",
+    )

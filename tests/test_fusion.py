@@ -1,0 +1,75 @@
+"""Knowledge fusion: noisy-or math against hand-computed values, the
+monotonicity invariant, top-k determinism, and the one-shuffle plan."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+    fuse_triples,
+    top_k_objects,
+)
+
+
+def _rows(spark):
+    return spark.createDataFrame(
+        [
+            # fact A: three mentions across two docs
+            ("s1", "p", "a", 0.5, 10),
+            ("s1", "p", "a", 0.5, 10),
+            ("s1", "p", "a", 0.2, 11),
+            # fact B: one mention, p=1.0 (the ln(0) guard path)
+            ("s1", "p", "b", 1.0, 12),
+            # fact C: different subject entirely
+            ("s2", "q", "c", 0.3, 13),
+        ],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+
+
+def test_noisy_or_hand_computed(spark):
+    got = {
+        (r.subj, r.pred, r.obj): r
+        for r in fuse_triples(_rows(spark)).collect()
+    }
+    a = got[("s1", "p", "a")]
+    # 1 - (0.5 * 0.5 * 0.8) = 0.8
+    assert abs(a.fused_prob - 0.8) < 1e-9
+    assert a.n_mentions == 3 and a.n_docs == 2
+    assert a.max_prob == 0.5 and a.first_doc == 10
+
+    b = got[("s1", "p", "b")]
+    # p=1.0 clamps via eps: fused = 1 - eps, not a NaN/-inf blowup
+    assert b.fused_prob > 0.999999
+    assert not math.isnan(b.fused_prob)
+
+    c = got[("s2", "q", "c")]
+    assert abs(c.fused_prob - 0.3) < 1e-9 and c.n_mentions == 1
+
+
+def test_fused_dominates_max_prob(spark):
+    # noisy-or is monotone in every input: fused >= max single mention
+    fused = fuse_triples(_rows(spark))
+    bad = fused.filter(F.col("fused_prob") < F.col("max_prob") - 1e-9)
+    assert bad.count() == 0
+
+
+def test_top_k_objects_deterministic_ties(spark):
+    rows = spark.createDataFrame(
+        [("s", "p", o, 0.5, 1) for o in ("z", "y", "x")]
+        + [("s", "p", "w", 0.9, 2)],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    top = top_k_objects(fuse_triples(rows), k=2).orderBy("rank").collect()
+    # rank 1 = strongest; the three 0.5-ties break on obj ascending
+    assert [(r.obj, r.rank) for r in top] == [("w", 1), ("x", 2)]
+
+
+def test_fusion_is_single_exchange(spark):
+    fused = fuse_triples(_rows(spark))
+    fused.collect()
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # one shuffle on the triple key; countDistinct partials under it
+    assert plan.count("Exchange") <= 2, plan  # key agg + distinct expand
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
