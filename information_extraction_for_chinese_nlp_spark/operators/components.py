@@ -92,13 +92,26 @@ def connected_components(
         for _round in range(max_iter):
             # neighbor labels: for edge (a,b), b hears a's component
             msgs = sym.join(labels, sym["a"] == labels["node"]).select(
-                F.col("b").alias("node"), F.col("component")
+                F.col("b").alias("node"),
+                F.col("component"),
+                F.lit(False).alias("_old"),
             )
+            # the node's previous label rides through the SAME shuffle
+            # as the min-aggregation (`_prev` = the one tagged-old row
+            # per node), so the convergence probe below is a filter
+            # over the materialized blocks instead of a per-round
+            # new-vs-old labels JOIN (r7: that join was ~2s/round of
+            # q10's wall at 500k nodes).
             propagated = (
-                labels.select("node", "component")
+                labels.select("node", "component", F.lit(True).alias("_old"))
                 .union(msgs)
                 .groupBy("node")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_old"), F.col("component"))).alias(
+                        "_prev"
+                    ),
+                )
             )
             # pointer jumping (OPT-IN): a node's label is itself a node
             # whose own label may be smaller — follow one hop
@@ -122,16 +135,15 @@ def connected_components(
                 ).select(
                     "node",
                     F.coalesce("_cc", "component").alias("component"),
+                    "_prev",
                 )
             new_labels = cut(propagated)
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .filter(F.col("n.component") != F.col("o.component"))
+                new_labels.filter(F.col("component") != F.col("_prev"))
                 .limit(1)
                 .count()
             )
-            labels = new_labels
+            labels = new_labels.drop("_prev")
             if changed == 0:
                 break
         if cleanup_dir is not None:
