@@ -21,6 +21,10 @@ import subprocess
 import sys
 import time
 
+# module-level on purpose: function-local pandas + postponed annotations
+# breaks @pandas_udf typehint inference (see _sf1_cipher_udf)
+import pandas as pd
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_CONVS", "4000"))
@@ -136,6 +140,11 @@ def build_queries(spark):
         # module's one deliberate shuffle (linear in doc length)
         "q6b_repetition": lambda: repetition_features(docs).count(),
         "q7_graph": lambda: _graph_count(spark, docs),
+        # the COMPLETE KG tail (extract -> link -> canonicalize -> FUSE
+        # per canonical fact): one extra map-combinable shuffle over q7
+        # plus the post-agg canonical_text join; build_kg's checkpoint
+        # keeps linker+CC at one execution for both outputs
+        "q7b_kg_fused": lambda: _kg_fused_count(spark, docs),
         # the COMPOSED curation job (dedup -> decontaminate -> quality
         # -> PII scrub -> stratified sample) as one plan — the 100 TB
         # story is this composition, not the stages singly (VERDICT r4
@@ -190,6 +199,23 @@ def _graph_count(spark, docs):
     )
     vertices, canonical = build_graph(edges)
     return vertices.count() + canonical.count()
+
+
+def _kg_fused_count(spark, docs):
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+    from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from information_extraction_for_chinese_nlp_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    # same materialization discipline as q7 (see _graph_count)
+    edges = extract_triples(transcripts_from_documents(docs)).localCheckpoint(
+        eager=False
+    )
+    vertices, fused = build_kg(edges)
+    return vertices.count() + fused.count()
 
 
 def _dataprep_count(spark, docs):
@@ -784,13 +810,45 @@ def run_scaling() -> None:
 SF1_DIR = os.environ.get("BENCH_SF1_DIR", "/tmp/sf1_fixture")
 
 
+def _sf1_cipher_udf(i: int):
+    """Per-replica character substitution: rotate CJK codepoints within
+    the unified block and ASCII letters/digits within their classes.
+    A bijection on text, so each replica is an ISOMORPHIC copy of the
+    sf0.1 corpus — n-gram Jaccard / simhash similarity WITHIN a replica
+    is preserved exactly, while CROSS-replica shingle overlap drops to
+    ~zero (only punctuation/whitespace grams survive). The 10x corpus
+    therefore carries exactly 10x the near-dup pair structure — the
+    linear-scaling fixture the ratio diagnostic needs. (The first cut
+    appended a replica marker only: replicas stayed NEAR-duplicates of
+    each other, so q3/q4c measured fixture-induced intra-cluster pair
+    growth and shifted max_df pruning, not per-row cost.)"""
+    from pyspark.sql import functions as F
+
+    tbl: dict[int, int] = {}
+    if i:
+        for cp in range(0x4E00, 0xA000):
+            tbl[cp] = 0x4E00 + ((cp - 0x4E00 + i * 2099) % 0x5200)
+        for base, size in ((ord("a"), 26), (ord("A"), 26), (ord("0"), 10)):
+            for k in range(size):
+                tbl[base + k] = base + (k + i) % size
+
+    @F.pandas_udf("string")
+    def cipher(s: pd.Series) -> pd.Series:
+        return s.str.translate(tbl) if tbl else s
+
+    return cipher
+
+
 def _build_sf1(spark) -> None:
     """Deterministic 10x fixture from the sf0.1 tables: each replica
-    remaps ids into a disjoint range and salts the text with a replica
-    marker so the corpus does NOT become 10 exact copies (which would
-    collapse into dedup_exact's job and flatter the near-dup caps).
-    Written as parquet so scans/pushdown behave exactly like the sf0.1
-    leg."""
+    remaps ids into a disjoint range and rewrites the text through a
+    per-replica substitution cipher (see ``_sf1_cipher_udf``) so the
+    corpus is neither 10 exact copies (which would collapse into
+    dedup_exact's job) nor 10 near-duplicate clusters (which would
+    quadratically inflate near-dup candidate pairs and saturate the
+    caps). A replica marker line keeps even punctuation-only texts
+    distinct. Written as parquet so scans/pushdown behave exactly like
+    the sf0.1 leg."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -805,7 +863,10 @@ def _build_sf1(spark) -> None:
         [
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit("\nREPLICA-%d" % i)).alias("text"),
+                F.concat(
+                    _sf1_cipher_udf(i)(F.col("text")),
+                    F.lit("\nREPLICA-%d" % i),
+                ).alias("text"),
                 "lang", "source", "n_chars",
             )
             for i in range(10)
@@ -882,7 +943,7 @@ def run_sf1() -> None:
 
     lines = [
         "",
-        "## sf1.0 leg for the top-5 expensive keys (round 7; 10x salted-replica",
+        "## sf1.0 leg for the top-5 expensive keys (round 7; 10x cipher-replica",
         "fixture, same-session sf0.1 reference, min-of-2, local[%d])" % CPUS,
         "",
         "| key | sf0.1 | sf1 | ratio (10x data) |",

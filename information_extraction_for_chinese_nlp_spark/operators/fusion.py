@@ -40,21 +40,44 @@ def fuse_triples(
     - ``fused_prob``: noisy-or 1 - prod(1 - p_i), computed as
       ``1 - exp(sum(ln(max(eps, 1 - p))))`` so it stays a combinable
       SUM instead of a non-associative product fold; ``eps`` guards
-      ln(0) when a mention arrives with p = 1.0.
+      ln(0) when a mention arrives with p = 1.0, and the result is
+      clamped to ``max_prob`` from below so the eps clamp can never
+      push it under the strongest single mention.
     - ``n_mentions`` / ``n_docs``: total and distinct-source support.
     - ``max_prob``: strongest single mention (noisy-or is monotone in
-      every input, so fused_prob >= max_prob always — a cheap sanity
+      every input, so fused_prob >= max_prob exactly — a sanity
       invariant tests pin).
     - ``first_doc``: smallest source id, a deterministic provenance
       anchor.
+
+    NULL-probability mentions are EXCLUDED before aggregation (from
+    fused_prob AND the support counts): the scorer's tokenizer-crash
+    quarantine emits sentinel rows with NULL probability, and
+    ``greatest(eps, 1 - NULL)`` would otherwise read each one as
+    near-certain evidence (ln(eps) drives the product to ~0, fusing
+    the fact to ~1.0). A fact whose every mention is NULL vanishes
+    from the output entirely.
     """
+    supported = triples.filter(F.col(prob_col).isNotNull())
     one_minus = F.greatest(F.lit(eps), F.lit(1.0) - F.col(prob_col))
-    return triples.groupBy(subj_col, pred_col, obj_col).agg(
-        (F.lit(1.0) - F.exp(F.sum(F.log(one_minus)))).alias("fused_prob"),
+    agg = supported.groupBy(subj_col, pred_col, obj_col).agg(
+        F.sum(F.log(one_minus)).alias("_log_miss"),
         F.count("*").alias("n_mentions"),
         F.countDistinct(doc_col).alias("n_docs"),
         F.max(prob_col).alias("max_prob"),
         F.min(doc_col).alias("first_doc"),
+    )
+    return agg.select(
+        subj_col,
+        pred_col,
+        obj_col,
+        F.greatest(
+            F.lit(1.0) - F.exp(F.col("_log_miss")), F.col("max_prob")
+        ).alias("fused_prob"),
+        "n_mentions",
+        "n_docs",
+        "max_prob",
+        "first_doc",
     )
 
 

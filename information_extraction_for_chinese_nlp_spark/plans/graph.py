@@ -130,7 +130,8 @@ def raw_match_pairs_exact(normed: DataFrame, threshold: float = 0.6) -> DataFram
 
 
 def build_graph(edges: DataFrame, link_threshold: float = 0.6,
-                link_max_bucket: int | None = 10_000):
+                link_max_bucket: int | None = 10_000,
+                checkpoint: bool = False):
     """-> (vertices, canonical_edges).
 
     vertices: (entity_id, canonical_text, type, n_mentions)
@@ -140,6 +141,13 @@ def build_graph(edges: DataFrame, link_threshold: float = 0.6,
     ``link_max_bucket`` caps degenerate linker buckets (thousands of
     identical junk surfaces) — default ON like the dedup caps,
     ``None`` = explicit opt-out.
+
+    ``checkpoint=True`` puts a lazy ``localCheckpoint`` under the
+    canonicalized join (the subtree BOTH outputs consume), so a caller
+    materializing vertices AND edges — ``build_kg``, or a job writing
+    both tables — runs the linker + CC once instead of once per
+    output. Default False keeps gate plans pure (same discipline as
+    ``dedup_pipeline``).
     """
     normed = normalize_objects(edges)
 
@@ -149,6 +157,8 @@ def build_graph(edges: DataFrame, link_threshold: float = 0.6,
     keyed = normed.join(
         comps.withColumnRenamed("node", "entity_key"), on="entity_key", how="left"
     ).withColumn("canon_key", F.coalesce("component", "entity_key"))
+    if checkpoint:
+        keyed = keyed.localCheckpoint(eager=False)
 
     surface_counts = keyed.groupBy("canon_key", "pred", "obj").agg(
         F.count("*").alias("n")
@@ -182,3 +192,45 @@ def build_graph(edges: DataFrame, link_threshold: float = 0.6,
         "end",
     )
     return vertices.drop("canon_key"), canonical_edges
+
+
+def build_kg(edges: DataFrame, link_threshold: float = 0.6,
+             link_max_bucket: int | None = 10_000,
+             checkpoint: bool = True):
+    """The full KG-construction tail as ONE composed job:
+    extraction edges -> value normalization -> similarity linking ->
+    connected-components canonicalization (``build_graph``) ->
+    triple-level noisy-or fusion (``operators.fusion.fuse_triples``)
+    over the CANONICAL entity ids.
+
+    -> (vertices, fused_edges) where fused_edges has one row per FACT
+    (subj, pred, entity_id) with (fused_prob, n_mentions, n_docs,
+    max_prob, first_doc, canonical_text): fusing AFTER canonicalization
+    is the point — surface variants of the same value ("98,532元",
+    "98532元", "九万八千五百三十二元") first collapse into one entity,
+    THEN their mentions combine as independent evidence. Fusing raw
+    objects would fragment a fact's support across spellings.
+
+    Scale shape: build_graph's banded linker + CC (never all-pairs),
+    one extra shuffle on the fact key (map-side combinable aggregates),
+    and the canonical_text enrichment joins the already-aggregated
+    fact table against the vertex table on entity_id — both post-agg,
+    orders smaller than the mention stream. ``checkpoint`` defaults
+    True here (both outputs are consumed by construction).
+    """
+    from ..operators.fusion import fuse_triples
+
+    vertices, canonical = build_graph(
+        edges, link_threshold, link_max_bucket, checkpoint=checkpoint
+    )
+    fused = fuse_triples(
+        canonical, subj_col="subj", pred_col="pred",
+        obj_col="entity_id", prob_col="prob", doc_col="doc_id",
+    )
+    fused_edges = fused.join(
+        vertices.select("entity_id", "canonical_text"), on="entity_id"
+    ).select(
+        "subj", "pred", "entity_id", "canonical_text", "fused_prob",
+        "n_mentions", "n_docs", "max_prob", "first_doc",
+    )
+    return vertices, fused_edges

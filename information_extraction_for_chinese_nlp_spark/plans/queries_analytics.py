@@ -306,12 +306,14 @@ def chunk_quarantine(spark, sf_dir):
       FROM events
     )
     SELECT subj, pred, obj,
-           round(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))), 6) AS fused_prob,
+           round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                          max(prob)), 6) AS fused_prob,
            count(*) AS n_mentions,
            count(DISTINCT doc_id) AS n_docs,
            round(max(prob), 6) AS max_prob,
            min(doc_id) AS first_doc
     FROM triples
+    WHERE prob IS NOT NULL
     GROUP BY subj, pred, obj
     """,
 )

@@ -796,6 +796,87 @@ def graph_vertices(spark, sf_dir):
     return vertices
 
 
+def _kg_fused_sql() -> str:
+    """kg_fused_edges oracle — the COMPLETE KG-construction tail
+    (extraction -> golden-value canonicalization -> noisy-or fusion per
+    (subj, pred, entity)) in one SQL. Valid at sf0.01 for the same
+    reason as the graph_vertices oracle: every obj is a full, golden-
+    normalizable money surface, so the similarity/CC layer is provably
+    idle and canon_key = pred#value; the golden join stays INNER so an
+    unexpected surface fails the row count loudly. Subjects are
+    re-keyed to case-(doc_id %% 97) so facts genuinely repeat across
+    documents — the noisy-or path is exercised with multi-mention,
+    multi-doc groups, not vacuous singletons."""
+    from ..sources.transcripts import _MONEY
+
+    golden = {raw: val for raw, val in _MONEY_GOLDEN}
+    rows = ", ".join(f"('{m}', '{golden[m]}')" for m in _MONEY)
+    return f"""
+    WITH {_triples_ctes()},
+    edges AS (
+      SELECT 'case-' || CAST(doc_id % 97 AS VARCHAR) AS subj,
+             pred, obj, prob,
+             'doc-' || CAST(doc_id AS VARCHAR) AS doc_id
+      FROM scored WHERE prob > 0.5
+    ),
+    golden AS (SELECT * FROM (VALUES {rows}) AS g(raw, value)),
+    keyed AS (
+      SELECT subj, pred, obj, prob, doc_id,
+             pred || '#' || g.value AS canon_key
+      FROM edges JOIN golden g ON g.raw = edges.obj
+    ),
+    counts AS (
+      SELECT canon_key, obj, count(*) AS n
+      FROM keyed GROUP BY canon_key, obj
+    ),
+    canon_text AS (
+      SELECT canon_key, obj AS canonical_text
+      FROM counts
+      QUALIFY row_number() OVER (
+        PARTITION BY canon_key ORDER BY n DESC, obj DESC) = 1
+    )
+    SELECT k.subj, k.pred,
+           md5(k.canon_key) AS entity_id,
+           ct.canonical_text,
+           round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - k.prob)))),
+                          max(k.prob)), 6) AS fused_prob,
+           count(*) AS n_mentions,
+           count(DISTINCT k.doc_id) AS n_docs,
+           round(max(k.prob), 6) AS max_prob,
+           min(k.doc_id) AS first_doc
+    FROM keyed k JOIN canon_text ct ON ct.canon_key = k.canon_key
+    GROUP BY k.subj, k.pred, k.canon_key, ct.canonical_text
+    """
+
+
+@register_extra("kg_fused_edges", _kg_fused_sql())
+def kg_fused_edges(spark, sf_dir):
+    """The composed ``plans.graph.build_kg`` job end-to-end: extraction
+    edges -> normalize/link/canonicalize -> noisy-or fusion over the
+    CANONICAL entity ids (surface variants collapse BEFORE their
+    mentions combine as evidence). Extra tier: the primary window is at
+    the driver's 50-gate cap — rotation candidate for round 8."""
+    from ..plans.graph import build_kg
+
+    edges = triples_pipeline(spark, sf_dir)
+    edges = edges.withColumn(
+        "subj",
+        F.concat(
+            F.lit("case-"),
+            (F.regexp_extract("doc_id", "(\\d+)", 1).cast("long") % 97)
+            .cast("string"),
+        ),
+    )
+    _, fused = build_kg(edges)
+    return fused.select(
+        "subj", "pred", "entity_id", "canonical_text",
+        F.round("fused_prob", 6).alias("fused_prob"),
+        "n_mentions", "n_docs",
+        F.round("max_prob", 6).alias("max_prob"),
+        "first_doc",
+    )
+
+
 def _synth_assets_cte(n: int = 200, seed: int = 42) -> str:
     """DuckDB CTE reproducing operators.multimodal.synth_assets — every
     field is md5-hex-derived, so the SQL is byte-identical to Spark."""

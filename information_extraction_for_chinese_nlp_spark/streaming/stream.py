@@ -44,6 +44,21 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(hconf), path_cls, p
 
 
+def _is_orderable(dt) -> bool:
+    """Whether Spark can sort/compare values of this type (max(struct),
+    ORDER BY). Maps (and Spark 4 variants) are not orderable; arrays
+    and structs inherit from their element/field types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return dt.typeName() != "variant"
+
+
 def _batch_dir_id(status):
     """batch_id of a 'batch_id=N' state directory, None for foreign dirs."""
     name = status.getPath().getName()
@@ -291,6 +306,14 @@ def stream_line_dedup(
         c for c in docs_stream.columns if c not in (id_col, text_col)
     )
     _validate_line_dedup_args(strategy, passengers)
+    # decided BEFORE the stream starts, like the checks above: whether
+    # every non-id column is orderable (max(struct) legal) or the
+    # in-batch dedup must order on a JSON serialization instead
+    all_orderable = all(
+        _is_orderable(f.dataType)
+        for f in docs_stream.schema.fields
+        if f.name != id_col
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import _line_df
@@ -308,9 +331,21 @@ def stream_line_dedup(
         row_s = "_row"
         while row_s in batch_df.columns:
             row_s += "_"
+        payload = F.struct(*others)
+        if all_orderable:
+            picked = F.max(payload)
+        else:
+            # a passenger carries an unorderable type (e.g. MapType):
+            # max(struct) would throw DATATYPE_MISMATCH. Order on the
+            # row's JSON serialization instead — a total order over
+            # distinct rows (to_json of the full row struct differs
+            # whenever any value differs; a tie means byte-identical
+            # rows, where any pick is the same row), so the pick stays
+            # deterministic across the two consumers and replays.
+            picked = F.max_by(payload, F.to_json(payload))
         batch_df = (
             batch_df.groupBy(id_col)
-            .agg(F.max(F.struct(*others)).alias(row_s))
+            .agg(picked.alias(row_s))
             .select(id_col, *[F.col(f"{row_s}.{c}").alias(c) for c in others])
             .cache()
         )

@@ -39,8 +39,9 @@ def test_noisy_or_hand_computed(spark):
     assert a.max_prob == 0.5 and a.first_doc == 10
 
     b = got[("s1", "p", "b")]
-    # p=1.0 clamps via eps: fused = 1 - eps, not a NaN/-inf blowup
-    assert b.fused_prob > 0.999999
+    # p=1.0: eps guards the ln(0), then the max_prob clamp restores
+    # the exact certainty — fused == 1.0, not 1 - eps
+    assert b.fused_prob == 1.0
     assert not math.isnan(b.fused_prob)
 
     c = got[("s2", "q", "c")]
@@ -48,10 +49,29 @@ def test_noisy_or_hand_computed(spark):
 
 
 def test_fused_dominates_max_prob(spark):
-    # noisy-or is monotone in every input: fused >= max single mention
+    # noisy-or is monotone in every input, and the clamp makes the
+    # invariant EXACT (no eps tolerance) even at p = 1.0
     fused = fuse_triples(_rows(spark))
-    bad = fused.filter(F.col("fused_prob") < F.col("max_prob") - 1e-9)
+    bad = fused.filter(F.col("fused_prob") < F.col("max_prob"))
     assert bad.count() == 0
+
+
+def test_null_prob_mentions_excluded(spark):
+    # the scorer's quarantine path emits sentinel rows with NULL
+    # probability — they must not count as evidence OR support
+    rows = spark.createDataFrame(
+        [
+            ("s", "p", "a", 0.5, 1),
+            ("s", "p", "a", None, 2),  # quarantined mention
+            ("s", "p", "dead", None, 3),  # fact with ONLY null support
+        ],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    got = {(r.subj, r.pred, r.obj): r for r in fuse_triples(rows).collect()}
+    a = got[("s", "p", "a")]
+    assert abs(a.fused_prob - 0.5) < 1e-12  # NOT fused toward 1.0
+    assert a.n_mentions == 1 and a.n_docs == 1  # null row not counted
+    assert ("s", "p", "dead") not in got  # all-null fact vanishes
 
 
 def test_top_k_objects_deterministic_ties(spark):

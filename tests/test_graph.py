@@ -381,3 +381,63 @@ def test_tfidf_distributed_distinct_objs_same_mention_id(spark):
         assert rows[("m1", "1,680元")].score == 1.0, sc
         assert rows[("m2", "x")].canonical_id is None, sc
         assert rows[("m2", "x")].score == 0.0, sc
+
+
+def test_build_kg_fuses_across_canonical_surfaces(spark):
+    """Fusion AFTER canonicalization: surface variants of one value
+    collapse into one entity first, THEN their mentions combine as
+    noisy-or evidence — fusing raw objects would fragment the fact."""
+    import math
+
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+
+    edges = _edges(
+        spark,
+        [
+            # one FACT (case-1, 醫療費用, 98532) asserted via three
+            # different surface spellings across two docs
+            ("case-1", "醫療費用", "98,532元", 0.5, "d1", 0, 7),
+            ("case-1", "醫療費用", "98532元", 0.5, "d1", 9, 15),
+            ("case-1", "醫療費用", "九萬八千五百三十二元", 0.2, "d2", 0, 10),
+            # same entity, different subject: separate fact
+            ("case-2", "醫療費用", "98532元", 0.9, "d3", 0, 6),
+        ],
+    )
+    vertices, fused = build_kg(edges)
+    assert vertices.count() == 1  # all four mentions share one entity
+    rows = {(r.subj, r.pred): r for r in fused.collect()}
+    assert len(rows) == 2
+    f1 = rows[("case-1", "醫療費用")]
+    # noisy-or over the CANONICAL fact: 1 - 0.5*0.5*0.8 = 0.8
+    assert abs(f1.fused_prob - 0.8) < 1e-9
+    assert f1.n_mentions == 3 and f1.n_docs == 2
+    assert f1.max_prob == 0.5 and f1.first_doc == "d1"
+    f2 = rows[("case-2", "醫療費用")]
+    assert abs(f2.fused_prob - 0.9) < 1e-9 and f2.n_mentions == 1
+    # both facts carry the entity's canonical text (most frequent surface)
+    assert f1.canonical_text == "98532元" == f2.canonical_text
+    assert f1.entity_id == f2.entity_id
+    assert not math.isnan(f1.fused_prob)
+
+
+def test_build_kg_checkpoint_runs_upstream_once(spark, tmp_path):
+    """build_kg(checkpoint=True) puts a localCheckpoint under the
+    canonicalized join: materializing BOTH outputs must not re-run the
+    linker/CC subtree (same discipline as curate's composition). The
+    lazy localCheckpoint rewrites the plan to ExistingRDD immediately,
+    so neither output's plan re-derives the parquet scan."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+
+    src = str(tmp_path / "edges")
+    _edges(
+        spark,
+        [("c%d" % i, "醫療費用", "98,532元", 0.5, "d%d" % i, 0, 7)
+         for i in range(20)],
+    ).write.parquet(src)
+    vertices, fused = build_kg(spark.read.parquet(src))
+    for df in (vertices, fused):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Scan parquet" not in plan, plan
+    # and the outputs are still correct through the checkpoint boundary
+    assert vertices.count() == 1
+    assert fused.count() == 20

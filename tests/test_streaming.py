@@ -520,6 +520,46 @@ def test_stream_line_dedup_prevalidates_and_dedups_deterministically(
     assert rows[0].text == "PROMO\nZZZ" and rows[0].n_dropped == 0
 
 
+def test_stream_line_dedup_map_passenger_survives(spark, tmp_path):
+    """A MapType passenger column must not kill the first micro-batch:
+    max(struct) is illegal over unorderable types, so the in-batch
+    dedup falls back to a JSON-serialized ordering key — still
+    deterministic (a to_json tie means byte-identical rows), and the
+    map rides through the rewrite intact."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_line_dedup,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("props", MapType(StringType(), IntegerType())),
+    ])
+    rows = [(i, f"BANNER\nbody {i}", {"k": i}) for i in range(3)] + [
+        # duplicate id: the JSON ordering key picks 'zz' ("yy" < "zz")
+        (7, "yy", {"k": 1}),
+        (7, "zz", {"k": 2}),
+    ]
+    src = str(tmp_path / "ldm_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "ldm_out")
+    q = stream_line_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        out, str(tmp_path / "ldm_ckpt"), min_df=3,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 4
+    assert got[7].text == "zz" and dict(got[7].props) == {"k": 2}
+    assert all("BANNER" not in got[i].text for i in range(3))
+    assert dict(got[1].props) == {"k": 1}
+
+
 @pytest.mark.slow
 def test_stream_dedup_soak_50_batches_bounded_state_flat_wall(spark, tmp_path):
     """Long-horizon soak (VERDICT r6 task 5): 60 micro-batches through
