@@ -22,8 +22,24 @@ popularity does not skew the shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def log_miss_expr(prob_col: str, eps: float = 1e-12) -> Column:
+    """Per-mention noisy-or contribution ln(max(eps, 1 - p)) — the
+    combinable-SUM form of the (1 - p) product. Shared by the batch
+    operator and the streaming partials so the two faces cannot drift."""
+    return F.log(F.greatest(F.lit(eps), F.lit(1.0) - F.col(prob_col)))
+
+
+def fused_prob_expr(log_miss_col: str, max_prob_col: str) -> Column:
+    """Finalize summed log-miss into the fused confidence, clamped to
+    the strongest single mention (the eps guard can otherwise undercut
+    it). Shared by the batch operator and the streaming finalizer."""
+    return F.greatest(
+        F.lit(1.0) - F.exp(F.col(log_miss_col)), F.col(max_prob_col)
+    )
 
 
 def fuse_triples(
@@ -34,6 +50,7 @@ def fuse_triples(
     prob_col: str = "prob",
     doc_col: str = "doc_id",
     eps: float = 1e-12,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """-> one row per (subj, pred, obj):
 
@@ -57,27 +74,40 @@ def fuse_triples(
     near-certain evidence (ln(eps) drives the product to ~0, fusing
     the fact to ~1.0). A fact whose every mention is NULL vanishes
     from the output entirely.
+
+    ``ts_col``: optional mention-timestamp column; when given the
+    output carries temporal scoping columns ``first_seen`` /
+    ``last_seen`` (min/max mention time — the fact's observed validity
+    envelope). Both are combinable min/max riding the same single
+    shuffle; no extra pass.
     """
     supported = triples.filter(F.col(prob_col).isNotNull())
-    one_minus = F.greatest(F.lit(eps), F.lit(1.0) - F.col(prob_col))
+    temporal = (
+        [
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+        ]
+        if ts_col is not None
+        else []
+    )
     agg = supported.groupBy(subj_col, pred_col, obj_col).agg(
-        F.sum(F.log(one_minus)).alias("_log_miss"),
+        F.sum(log_miss_expr(prob_col, eps)).alias("_log_miss"),
         F.count("*").alias("n_mentions"),
         F.countDistinct(doc_col).alias("n_docs"),
         F.max(prob_col).alias("max_prob"),
         F.min(doc_col).alias("first_doc"),
+        *temporal,
     )
     return agg.select(
         subj_col,
         pred_col,
         obj_col,
-        F.greatest(
-            F.lit(1.0) - F.exp(F.col("_log_miss")), F.col("max_prob")
-        ).alias("fused_prob"),
+        fused_prob_expr("_log_miss", "max_prob").alias("fused_prob"),
         "n_mentions",
         "n_docs",
         "max_prob",
         "first_doc",
+        *(["first_seen", "last_seen"] if ts_col is not None else []),
     )
 
 
@@ -103,4 +133,87 @@ def top_k_objects(
     return (
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def resolve_functional(
+    fused: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    score_col: str = "fused_prob",
+    docs_col: str = "n_docs",
+    mentions_col: str = "n_mentions",
+) -> DataFrame:
+    """Conflict resolution for FUNCTIONAL predicates (at most one true
+    object per subject — a case has one 醫療費用 total, a person one
+    birth date): one row per (subj, pred) choosing the best-supported
+    object, with the diagnostics a curator needs to audit the choice.
+
+    Ordering is total and deterministic: fused confidence, then
+    distinct-source support, then mention count, then the object value
+    itself — reruns, retries, and shuffled inputs all pick the same
+    winner.
+
+    Output per (subj, pred): ``obj`` (the winner), its ``fused_prob``
+    / ``n_docs`` / ``n_mentions``, ``n_candidates`` (how many objects
+    competed), and ``margin`` (winner's score minus runner-up's; NULL
+    when uncontested). A margin near 0 flags a genuinely ambiguous
+    slot; a large one a safe resolution.
+
+    Scale shape: one window over the already-fused table (orders of
+    magnitude smaller than the mention stream); no join — the
+    runner-up score arrives via ``lead`` over the same window and the
+    candidate count via a partition-bounded window count.
+    """
+    order = [
+        F.col(score_col).desc(),
+        F.col(docs_col).desc(),
+        F.col(mentions_col).desc(),
+        F.col(obj_col).asc(),
+    ]
+    w = Window.partitionBy(subj_col, pred_col).orderBy(*order)
+    wall = Window.partitionBy(subj_col, pred_col)
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_next", F.lead(score_col).over(w))
+        .withColumn("n_candidates", F.count("*").over(wall).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            subj_col,
+            pred_col,
+            obj_col,
+            score_col,
+            docs_col,
+            mentions_col,
+            "n_candidates",
+            (F.col(score_col) - F.col("_next")).alias("margin"),
+        )
+    )
+
+
+def entity_salience(
+    fused: DataFrame,
+    entity_col: str = "obj",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    score_col: str = "fused_prob",
+    mentions_col: str = "n_mentions",
+) -> DataFrame:
+    """Per-entity importance over the fused graph — the KG analog of
+    degree centrality, used to rank entities for review/linking budget:
+    ``n_facts`` (edges touching the entity), ``n_subjects`` /
+    ``n_preds`` (distinct neighbors and relation types), ``support``
+    (sum of fused confidences — weighted degree), ``total_mentions``.
+
+    Runs on the FUSED table, not the mention stream, so a
+    billion-mention hot entity costs one input row per fact here; one
+    map-side-combinable shuffle on the entity key.
+    """
+    return fused.groupBy(entity_col).agg(
+        F.count("*").alias("n_facts"),
+        F.countDistinct(subj_col).alias("n_subjects"),
+        F.countDistinct(pred_col).alias("n_preds"),
+        F.sum(score_col).alias("support"),
+        F.sum(mentions_col).alias("total_mentions"),
     )

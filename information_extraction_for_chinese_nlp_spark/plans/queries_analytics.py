@@ -338,3 +338,151 @@ def triple_fusion(spark, sf_dir):
         F.round("max_prob", 6).alias("max_prob"),
         "first_doc",
     )
+
+
+# The shared fixture for the fusion-family gates: deterministic
+# (subj, pred, obj, prob[, ts]) assertions derived from events (see the
+# triple_fusion note on the /19 divisor).
+_FUSION_FIXTURE_SQL = """
+    triples AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS obj,
+             least(0.95, value / 19.0) AS prob,
+             event_id AS doc_id, ts
+      FROM events
+    ),
+    fused AS (
+      SELECT subj, pred, obj,
+             round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                            max(prob)), 6) AS fused_prob,
+             count(*) AS n_mentions,
+             count(DISTINCT doc_id) AS n_docs
+      FROM triples
+      WHERE prob IS NOT NULL
+      GROUP BY subj, pred, obj
+    )
+"""
+
+
+def _fusion_fixture(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        (F.regexp_extract("props", '"k": (\\d+)', 1).cast("long") % 10).alias(
+            "obj"
+        ),
+        F.least(F.lit(0.95), F.col("value") / 19.0).alias("prob"),
+        F.col("event_id").alias("doc_id"),
+        "ts",
+    )
+
+
+@register_extra(
+    "functional_resolution",
+    f"""
+    WITH {_FUSION_FIXTURE_SQL},
+    ranked AS (
+      SELECT subj, pred, obj, fused_prob, n_docs, n_mentions,
+             row_number() OVER w AS rn,
+             lead(fused_prob) OVER w AS next_prob,
+             count(*) OVER (PARTITION BY subj, pred) AS n_candidates
+      FROM fused
+      WINDOW w AS (PARTITION BY subj, pred
+                   ORDER BY fused_prob DESC, n_docs DESC,
+                            n_mentions DESC, obj ASC)
+    )
+    SELECT subj, pred, obj, fused_prob, n_docs, n_mentions, n_candidates,
+           round(fused_prob - next_prob, 6) AS margin
+    FROM ranked WHERE rn = 1
+    """,
+)
+def functional_resolution(spark, sf_dir):
+    """Functional-predicate conflict resolution over the fused graph:
+    one object per (subj, pred) by (confidence, source support, mention
+    support, value) with candidate-count and runner-up-margin
+    diagnostics. fused_prob is pre-rounded to the gate's 6dp BEFORE
+    ranking so the Spark and DuckDB windows order on identical values
+    (last-ulp noise in the unrounded noisy-or could otherwise flip a
+    near-tie's winner between engines). Extra tier: the primary window
+    is at the driver's 50-gate cap — rotation candidate for round 8."""
+    from ..operators.fusion import fuse_triples, resolve_functional
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    resolved = resolve_functional(fused)
+    return resolved.select(
+        "subj", "pred", "obj", "fused_prob", "n_docs", "n_mentions",
+        "n_candidates",
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+@register_extra(
+    "fact_intervals",
+    """
+    WITH triples AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS obj,
+             least(0.95, value / 19.0) AS prob,
+             event_id AS doc_id, ts
+      FROM events
+    )
+    SELECT subj, pred, obj,
+           round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                          max(prob)), 6) AS fused_prob,
+           count(*) AS n_mentions,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM triples
+    WHERE prob IS NOT NULL
+    GROUP BY subj, pred, obj
+    """,
+)
+def fact_intervals(spark, sf_dir):
+    """Temporal scoping of fused facts: min/max mention timestamp per
+    (subj, pred, obj) — the fact's observed validity envelope — riding
+    the same single fusion shuffle (``fuse_triples(ts_col=...)``).
+    Extra tier: rotation candidate for round 8."""
+    from ..operators.fusion import fuse_triples
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir), ts_col="ts")
+    return fused.select(
+        "subj", "pred", "obj",
+        F.round("fused_prob", 6).alias("fused_prob"),
+        "n_mentions", "first_seen", "last_seen",
+    )
+
+
+@register_extra(
+    "entity_salience",
+    f"""
+    WITH {_FUSION_FIXTURE_SQL}
+    SELECT obj,
+           count(*) AS n_facts,
+           count(DISTINCT subj) AS n_subjects,
+           count(DISTINCT pred) AS n_preds,
+           round(sum(fused_prob), 6) AS support,
+           CAST(sum(n_mentions) AS BIGINT) AS total_mentions
+    FROM fused
+    GROUP BY obj
+    """,
+)
+def entity_salience_gate(spark, sf_dir):
+    """Per-entity weighted degree over the fused graph (fact count,
+    distinct neighbors/relations, summed confidence) — ranks entities
+    for curation budget. Sums the 6dp-rounded per-fact scores so the
+    float accumulation is over identical operands on both engines.
+    Extra tier: rotation candidate for round 8."""
+    from ..operators.fusion import entity_salience, fuse_triples
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    sal = entity_salience(fused)
+    return sal.select(
+        "obj", "n_facts", "n_subjects", "n_preds",
+        F.round("support", 6).alias("support"),
+        "total_mentions",
+    )

@@ -21,6 +21,10 @@ Spark-native capability for continuously-arriving transcripts:
   hot-line df table accumulates across batches (partials + compacted
   snapshots, replay-idempotent) and each batch rewrites its documents
   through the SAME membership legs as the batch operator.
+- ``stream_fuse_triples``: incremental knowledge fusion — per-(fact,
+  doc) combinable partials accumulate across batches and each batch
+  finalizes the full fused fact table through the SAME noisy-or
+  expressions as the batch operator.
 """
 
 from __future__ import annotations
@@ -620,3 +624,188 @@ def windowed_edge_counts(
             "n_money_turns",
         )
     )
+
+
+def stream_fuse_triples(
+    triples_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    prob_col: str = "prob",
+    doc_col: str = "doc_id",
+    eps: float = 1e-12,
+    available_now: bool = True,
+    compact_every: int | None = 10,
+    keep_snapshots: int = 2,
+):
+    """Incremental knowledge fusion — the streaming face of
+    ``operators.fusion.fuse_triples`` for continuously-arriving mention
+    streams: after each micro-batch, ``<output_path>/fused/batch_id=N``
+    holds the full fused fact table over EVERY mention seen so far,
+    equal (pinned in tests) to the batch operator over the concatenated
+    input.
+
+    Noisy-or is a combinable SUM in log space, so the state is NOT the
+    mention stream — it is per-(fact, doc) partials (summed log-miss,
+    mention count, max prob), one row per distinct (subj, pred, obj,
+    doc) ever seen. Each batch:
+
+    1. aggregates its own mentions to partials (batch-bounded shuffle,
+       map-side combine; NULL-prob quarantine rows excluded exactly as
+       in the batch operator);
+    2. merges them with the accumulated partials (sum/sum/max — the
+       same associative ops, so replay or re-ordering cannot change
+       the result);
+    3. finalizes the fused table via the SAME shared expressions the
+       batch operator uses (``log_miss_expr`` / ``fused_prob_expr`` —
+       one implementation, the faces cannot drift).
+
+    State layout follows the module convention: each batch OVERWRITES
+    its own ``_state/batch_id=N`` partials directory and reads only
+    ``batch_id < N`` (plus its in-memory partials), so an at-least-once
+    replay is idempotent — exactly-once at rest. Every
+    ``compact_every`` batches the batch writes the MERGED partials as
+    its own directory, marks it ``_SNAPSHOT``, and deletes directories
+    older than the PREVIOUS marker; because partials are sums (not a
+    set), the reader must never double-count — it reads the latest
+    marked snapshot plus only the incremental directories AFTER it,
+    keyed on actual markers so a mid-compaction crash or a
+    ``compact_every`` change between restarts stays consistent.
+    ``fused/`` snapshots older than ``keep_snapshots`` are pruned
+    (they are derived data; replay needs only ``_state``).
+
+    Scale shape: per-batch cost is one batch-bounded aggregation plus
+    one merge shuffle over |distinct (fact, doc)| — orders smaller
+    than the accumulated mention count for any corpus with repeated
+    facts; nothing ever rescans prior batches' raw mentions.
+    """
+    from pyspark.sql.types import LongType, StructField
+
+    from ..operators.fusion import fused_prob_expr, log_miss_expr
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1 (or None to disable)")
+    if keep_snapshots < 1:
+        raise ValueError("keep_snapshots must be >= 1")
+    fact = [subj_col, pred_col, obj_col]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partials = (
+            batch_df.filter(F.col(prob_col).isNotNull())
+            .groupBy(*fact, doc_col)
+            .agg(
+                F.sum(log_miss_expr(prob_col, eps)).alias("_log_miss"),
+                F.count("*").alias("n_mentions"),
+                F.max(prob_col).alias("max_prob"),
+            )
+        )
+
+        state_root_str = f"{output_path}/_state"
+        fs, _Path, state_root = _hadoop_fs(spark, state_root_str)
+        prior_ids: list[int] = []
+        snap_ids: list[int] = []
+        if fs.exists(state_root):
+            for st in fs.listStatus(state_root):
+                bid = _batch_dir_id(st)
+                if bid is None or bid >= batch_id:
+                    # >= batch_id: this batch's own previous attempt —
+                    # replay must not read it (it gets overwritten)
+                    continue
+                prior_ids.append(bid)
+                if fs.exists(
+                    _Path(f"{state_root_str}/batch_id={bid}/_SNAPSHOT")
+                ):
+                    snap_ids.append(bid)
+        merged = partials
+        if prior_ids:
+            snap = max(snap_ids) if snap_ids else None
+            # latest marked snapshot + incrementals AFTER it; residual
+            # pre-snapshot dirs (deletion lags one marker behind) are
+            # partition-pruned out — reading them would double-count
+            # the sums they contributed to the snapshot
+            lo = snap if snap is not None else min(prior_ids)
+            schema = partials.schema.add(StructField("batch_id", LongType()))
+            prior = (
+                spark.read.schema(schema)
+                .option("basePath", state_root_str)
+                .parquet(state_root_str)
+                .filter(
+                    (F.col("batch_id") >= lo) & (F.col("batch_id") < batch_id)
+                )
+                .drop("batch_id")
+            )
+            merged = (
+                prior.unionByName(partials)
+                .groupBy(*fact, doc_col)
+                .agg(
+                    F.sum("_log_miss").alias("_log_miss"),
+                    F.sum("n_mentions").alias("n_mentions"),
+                    F.max("max_prob").alias("max_prob"),
+                )
+            )
+        do_compact = (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+            and bool(prior_ids)
+        )
+        if do_compact:
+            # consumed twice on compaction batches (snapshot + fused)
+            merged = merged.cache()
+        state_out = merged if do_compact else partials
+        state_out.write.mode("overwrite").parquet(
+            f"{state_root_str}/batch_id={batch_id}"
+        )
+
+        fused = merged.groupBy(*fact).agg(
+            F.sum("_log_miss").alias("_log_miss"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.count("*").alias("n_docs"),
+            F.max("max_prob").alias("max_prob"),
+            F.min(doc_col).alias("first_doc"),
+        )
+        fused.select(
+            *fact,
+            fused_prob_expr("_log_miss", "max_prob").alias("fused_prob"),
+            "n_mentions",
+            "n_docs",
+            "max_prob",
+            "first_doc",
+        ).write.mode("overwrite").parquet(
+            f"{output_path}/fused/batch_id={batch_id}"
+        )
+        if do_compact:
+            merged.unpersist()
+
+        if do_compact:
+            # re-marking after the overwrite is the replay-idempotent
+            # last step (the overwrite wiped any marker from a previous
+            # attempt); deletion keeps everything >= the PREVIOUS
+            # marker — still needed if THIS batch replays
+            marker = _Path(f"{state_root_str}/batch_id={batch_id}/_SNAPSHOT")
+            fs.create(marker, True).close()
+            if snap_ids:
+                cutoff = max(snap_ids)
+                for st in fs.listStatus(state_root):
+                    bid = _batch_dir_id(st)
+                    if bid is not None and bid < cutoff:
+                        fs.delete(st.getPath(), True)
+
+        fused_root_str = f"{output_path}/fused"
+        ffs, _FPath, fused_root = _hadoop_fs(spark, fused_root_str)
+        if ffs.exists(fused_root):
+            for st in ffs.listStatus(fused_root):
+                bid = _batch_dir_id(st)
+                if bid is not None and bid < batch_id - keep_snapshots:
+                    ffs.delete(st.getPath(), True)
+
+    writer = (
+        triples_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -93,3 +93,111 @@ def test_fusion_is_single_exchange(spark):
     # one shuffle on the triple key; countDistinct partials under it
     assert plan.count("Exchange") <= 2, plan  # key agg + distinct expand
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_temporal_scoping_rides_the_same_shuffle(spark):
+    from datetime import datetime
+
+    rows = spark.createDataFrame(
+        [
+            ("s", "p", "a", 0.5, 1, datetime(2024, 3, 1)),
+            ("s", "p", "a", 0.5, 2, datetime(2024, 1, 5)),
+            ("s", "p", "a", None, 3, datetime(2020, 1, 1)),  # quarantined
+        ],
+        "subj string, pred string, obj string, prob double, "
+        "doc_id long, ts timestamp",
+    )
+    fused = fuse_triples(rows, ts_col="ts")
+    r = fused.collect()[0]
+    # min/max over SUPPORTED mentions only: the NULL-prob row's earlier
+    # timestamp must not widen the envelope
+    assert r.first_seen == datetime(2024, 1, 5)
+    assert r.last_seen == datetime(2024, 3, 1)
+    # same single-exchange shape as the untimed path
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") <= 2, plan
+    # and the untimed path's schema is unchanged (no ts columns)
+    assert "first_seen" not in fuse_triples(rows).columns
+
+
+def test_resolve_functional_picks_and_diagnoses(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        resolve_functional,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            # (subj, pred) = (s, p): conflict between a (0.8) and b (0.5)
+            ("s", "p", "a", 0.5, 1),
+            ("s", "p", "a", 0.5, 2),
+            ("s", "p", "a", 0.2, 3),
+            ("s", "p", "b", 0.5, 4),
+            # (s, q): uncontested
+            ("s", "q", "c", 0.3, 5),
+        ],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    got = {
+        (r.subj, r.pred): r
+        for r in resolve_functional(fuse_triples(rows)).collect()
+    }
+    assert len(got) == 2
+    p = got[("s", "p")]
+    assert p.obj == "a" and p.n_candidates == 2
+    assert abs(p.fused_prob - 0.8) < 1e-9
+    assert abs(p.margin - 0.3) < 1e-9  # 0.8 - 0.5
+    q = got[("s", "q")]
+    assert q.obj == "c" and q.n_candidates == 1 and q.margin is None
+
+
+def test_resolve_functional_tie_chain_deterministic(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        resolve_functional,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            # equal fused_prob; 'b' wins on n_docs (2 docs vs 1)
+            ("s", "p", "a", 0.5, 1),
+            ("s", "p", "b", 0.3, 2),
+            ("s", "p", "b", 0.3, 3),
+        ],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    # force an exact fused tie: round both to 2dp first
+    fused = fuse_triples(rows).withColumn(
+        "fused_prob", F.round(F.lit(0.5), 2)
+    )
+    r = resolve_functional(fused).collect()[0]
+    assert r.obj == "b" and r.margin == 0.0
+
+    # full tie everywhere -> obj ascending wins
+    rows2 = spark.createDataFrame(
+        [("s", "p", "z", 0.5, 1), ("s", "p", "y", 0.5, 2)],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    assert resolve_functional(fuse_triples(rows2)).collect()[0].obj == "y"
+
+
+def test_entity_salience_weighted_degree(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        entity_salience,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("s1", "p", "e", 0.5, 1),
+            ("s2", "p", "e", 0.5, 2),
+            ("s2", "q", "e", 0.3, 3),
+            ("s1", "p", "f", 0.9, 4),
+        ],
+        "subj string, pred string, obj string, prob double, doc_id long",
+    )
+    got = {r.obj: r for r in entity_salience(fuse_triples(rows)).collect()}
+    e = got["e"]
+    assert e.n_facts == 3 and e.n_subjects == 2 and e.n_preds == 2
+    assert e.total_mentions == 3
+    assert abs(e.support - (0.5 + 0.5 + 0.3)) < 1e-9
+    f = got["f"]
+    assert f.n_facts == 1 and abs(f.support - 0.9) < 1e-9

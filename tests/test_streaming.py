@@ -637,3 +637,157 @@ def test_stream_dedup_soak_50_batches_bounded_state_flat_wall(spark, tmp_path):
     early = sorted(times[5:20])[len(times[5:20]) // 2]
     tail = sorted(times[-10:])[5]
     assert tail <= 3.0 * early, (early, tail, times)
+
+
+def _mention_rows(n_docs=12, facts=4):
+    # repeated facts across docs: fact j gets mentions from docs j, j+facts, ...
+    rows = []
+    for d in range(n_docs):
+        j = d % facts
+        rows.append((f"s{j}", "p", f"o{j}", 0.3 + 0.1 * (d % 5), d))
+        if d % 3 == 0:  # second mention of the same fact in the same doc
+            rows.append((f"s{j}", "p", f"o{j}", 0.5, d))
+        if d % 4 == 0:  # quarantined mention: NULL prob, must be ignored
+            rows.append((f"s{j}", "p", f"o{j}", None, d))
+    return rows
+
+
+_MENTION_SCHEMA = (
+    "subj string, pred string, obj string, prob double, doc_id long"
+)
+
+
+def _latest_fused(spark, out):
+    fused = (
+        spark.read.option("basePath", f"{out}/fused")
+        .parquet(f"{out}/fused")
+    )
+    last = fused.agg({"batch_id": "max"}).collect()[0][0]
+    return fused.filter(fused.batch_id == last).drop("batch_id")
+
+
+def _assert_fused_parity(spark, out, rows):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        fuse_triples,
+    )
+
+    got = {
+        (r.subj, r.pred, r.obj): r for r in _latest_fused(spark, out).collect()
+    }
+    batch = fuse_triples(spark.createDataFrame(rows, _MENTION_SCHEMA))
+    want = {(r.subj, r.pred, r.obj): r for r in batch.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        # log-space sums accumulate in a different order than the batch
+        # single pass — identical math, last-ulp tolerance
+        assert abs(g.fused_prob - w.fused_prob) < 1e-9, k
+        assert g.n_mentions == w.n_mentions, k
+        assert g.n_docs == w.n_docs, k
+        assert g.max_prob == w.max_prob and g.first_doc == w.first_doc, k
+
+
+def test_stream_fuse_triples_matches_batch_across_batches(spark, tmp_path):
+    """Multi-batch incremental fusion == batch fuse_triples over the
+    concatenated mentions (NULL-prob quarantine rows ignored on both
+    faces); restart with no new input changes nothing."""
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_fuse_triples,
+    )
+
+    rows = _mention_rows()
+    src = str(tmp_path / "mentions")
+    spark.createDataFrame(rows, _MENTION_SCHEMA).repartition(4).write.parquet(
+        src
+    )
+    out, ckpt = str(tmp_path / "kg"), str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(_MENTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_fuse_triples(stream, out, ckpt)
+    q.awaitTermination(120)
+    _assert_fused_parity(spark, out, rows)
+
+    # restart, same checkpoint, no new files: fused table unchanged
+    q2 = stream_fuse_triples(
+        spark.readStream.schema(_MENTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    _assert_fused_parity(spark, out, rows)
+
+
+def test_stream_fuse_triples_compaction_bounds_state(spark, tmp_path):
+    """compact_every=2 over 8 single-file batches: parity still holds,
+    a _SNAPSHOT marker exists, live _state dirs stay bounded (no
+    double-counting through the snapshot/incremental split), and new
+    mentions after a restart fold into the compacted state."""
+    import os
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_fuse_triples,
+    )
+
+    rows = _mention_rows(n_docs=16)
+    src = str(tmp_path / "mentions")
+    spark.createDataFrame(rows, _MENTION_SCHEMA).repartition(8).write.parquet(
+        src
+    )
+    out, ckpt = str(tmp_path / "kg"), str(tmp_path / "ckpt")
+
+    q = stream_fuse_triples(
+        spark.readStream.schema(_MENTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    _assert_fused_parity(spark, out, rows)
+
+    state_dirs = [
+        d for d in os.listdir(f"{out}/_state") if d.startswith("batch_id=")
+    ]
+    assert len(state_dirs) <= 6  # ~2*compact_every + 1, 8 batches ran
+    assert any(
+        os.path.exists(f"{out}/_state/{d}/_SNAPSHOT") for d in state_dirs
+    )
+
+    # late-arriving mentions: strengthen an existing fact + a new fact
+    extra = [("s0", "p", "o0", 0.9, 99), ("sX", "q", "oX", 0.7, 100)]
+    spark.createDataFrame(extra, _MENTION_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_fuse_triples(
+        spark.readStream.schema(_MENTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+        compact_every=2,
+    )
+    q2.awaitTermination(120)
+    _assert_fused_parity(spark, out, rows + extra)
+
+
+def test_stream_fuse_triples_validates_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_fuse_triples,
+    )
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    stream = spark.readStream.schema(_MENTION_SCHEMA).parquet(str(src))
+    with _pytest.raises(ValueError, match="compact_every"):
+        stream_fuse_triples(stream, "o", "c", compact_every=0)
+    with _pytest.raises(ValueError, match="keep_snapshots"):
+        stream_fuse_triples(stream, "o", "c", keep_snapshots=0)
