@@ -217,3 +217,109 @@ def entity_salience(
         F.sum(score_col).alias("support"),
         F.sum(mentions_col).alias("total_mentions"),
     )
+
+
+def validate_facts(
+    fused: DataFrame,
+    constraints: DataFrame,
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    score_col: str = "fused_prob",
+    docs_col: str = "n_docs",
+) -> DataFrame:
+    """Ontology/constraint validation over the fused graph — the KG
+    analog of the extraction pipeline's validity-predicate quarantine
+    (P6): every fact gets a ``status`` so violations route to review
+    instead of silently entering the graph.
+
+    ``constraints``: one row per predicate — ``pred``, ``obj_pattern``
+    (a regex the WHOLE object must match; NULL = any), ``min_prob`` /
+    ``min_docs`` (support floors; NULL = none). Checks run in a fixed
+    order and the FIRST failure names the status:
+
+    - ``unknown_pred`` — predicate absent from the constraint table
+      (schema-drift detector: a new relation type surfacing in the
+      stream);
+    - ``bad_object`` — object fails the pattern;
+    - ``low_conf`` / ``low_support`` — fused confidence or
+      distinct-source support under the floor;
+    - ``ok`` otherwise.
+
+    Scale shape: the constraint table is ontology-sized (hundreds of
+    predicates, not data-sized) — broadcast hash join on the predicate
+    key, zero shuffle of the fact table.
+    """
+    c = F.broadcast(
+        constraints.select(
+            F.col("pred").alias(pred_col),
+            "obj_pattern",
+            "min_prob",
+            "min_docs",
+            F.lit(True).alias("_known"),
+        )
+    )
+    joined = fused.join(c, on=pred_col, how="left")
+    status = (
+        F.when(F.col("_known").isNull(), "unknown_pred")
+        .when(
+            F.col("obj_pattern").isNotNull()
+            & ~F.regexp_like(
+                F.col(obj_col).cast("string"),
+                F.concat(F.lit("^(?:"), F.col("obj_pattern"), F.lit(")$")),
+            ),
+            "bad_object",
+        )
+        .when(
+            F.col("min_prob").isNotNull()
+            & (F.col(score_col) < F.col("min_prob")),
+            "low_conf",
+        )
+        .when(
+            F.col("min_docs").isNotNull()
+            & (F.col(docs_col) < F.col("min_docs")),
+            "low_support",
+        )
+        .otherwise("ok")
+    )
+    return joined.withColumn("status", status).drop(
+        "obj_pattern", "min_prob", "min_docs", "_known"
+    )
+
+
+def kg_diff(
+    old: DataFrame,
+    new: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    score_col: str = "fused_prob",
+    tol: float = 0.0,
+) -> DataFrame:
+    """Delta between two fused snapshots — what an incremental KG build
+    changed: one row per fact present in either side with ``change`` in
+    (``added``, ``removed``, ``changed``) plus both scores; facts whose
+    score moved by at most ``tol`` are dropped (the uninteresting
+    steady state, normally the overwhelming majority).
+
+    Scale shape: one full outer join on the fact key (both sides are
+    FUSED tables — orders smaller than mention streams); the
+    steady-state filter prunes before anything downstream."""
+    keys = [subj_col, pred_col, obj_col]
+    o = old.select(*keys, F.col(score_col).alias("_old"))
+    n = new.select(*keys, F.col(score_col).alias("_new"))
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "added")
+        .when(F.col("_new").isNull(), "removed")
+        .when(F.abs(F.col("_new") - F.col("_old")) > tol, "changed")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys,
+            "change",
+            F.col("_old").alias("old_prob"),
+            F.col("_new").alias("new_prob"),
+        )
+    )

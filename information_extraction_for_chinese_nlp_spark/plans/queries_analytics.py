@@ -486,3 +486,193 @@ def entity_salience_gate(spark, sf_dir):
         F.round("support", 6).alias("support"),
         "total_mentions",
     )
+
+
+# constraint fixture for fact_validation: covers every status branch —
+# 'purchase' is deliberately ABSENT (unknown_pred), 'error' constrains
+# the object pattern, 'signup' the confidence floor, 'click' the
+# support floor, 'view' is unconstrained-but-known (all ok)
+_CONSTRAINT_ROWS = [
+    ("click", None, None, 3),
+    ("error", "[0-4]", None, None),
+    ("signup", None, 0.9999, None),
+    ("view", None, None, None),
+]
+
+
+@register_extra(
+    "fact_validation",
+    f"""
+    WITH {_FUSION_FIXTURE_SQL},
+    constraints AS (
+      SELECT * FROM (VALUES
+        ('click', NULL, NULL, 3),
+        ('error', '[0-4]', NULL, NULL),
+        ('signup', NULL, 0.9999, NULL),
+        ('view', NULL, NULL, NULL)
+      ) AS c(pred, obj_pattern, min_prob, min_docs)
+    )
+    SELECT f.subj, f.pred, f.obj, f.fused_prob, f.n_docs,
+           CASE
+             WHEN c.pred IS NULL THEN 'unknown_pred'
+             WHEN c.obj_pattern IS NOT NULL
+                  AND NOT regexp_full_match(CAST(f.obj AS VARCHAR),
+                                            c.obj_pattern)
+               THEN 'bad_object'
+             WHEN c.min_prob IS NOT NULL AND f.fused_prob < c.min_prob
+               THEN 'low_conf'
+             WHEN c.min_docs IS NOT NULL AND f.n_docs < c.min_docs
+               THEN 'low_support'
+             ELSE 'ok'
+           END AS status
+    FROM fused f LEFT JOIN constraints c ON c.pred = f.pred
+    """,
+)
+def fact_validation(spark, sf_dir):
+    """Ontology-constraint validation over the fused graph
+    (``operators.fusion.validate_facts``): per-predicate object-pattern
+    and support-floor checks, first failure names the status,
+    broadcast-joined on the ontology-sized constraint table. Extra
+    tier: rotation candidate for round 8."""
+    from ..operators.fusion import fuse_triples, validate_facts
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    constraints = spark.createDataFrame(
+        _CONSTRAINT_ROWS,
+        "pred string, obj_pattern string, min_prob double, min_docs int",
+    )
+    out = validate_facts(fused, constraints)
+    return out.select("subj", "pred", "obj", "fused_prob", "n_docs", "status")
+
+
+@register_extra(
+    "kg_snapshot_diff",
+    """
+    WITH triples AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS obj,
+             least(0.95, value / 19.0) AS prob,
+             event_id AS doc_id
+      FROM events
+    ),
+    old_f AS (
+      SELECT subj, pred, obj,
+             round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                            max(prob)), 6) AS fused_prob
+      FROM triples WHERE prob IS NOT NULL AND doc_id % 2 = 0
+      GROUP BY subj, pred, obj
+    ),
+    new_f AS (
+      SELECT subj, pred, obj,
+             round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                            max(prob)), 6) AS fused_prob
+      FROM triples WHERE prob IS NOT NULL AND doc_id % 3 != 0
+      GROUP BY subj, pred, obj
+    )
+    SELECT coalesce(o.subj, n.subj) AS subj,
+           coalesce(o.pred, n.pred) AS pred,
+           coalesce(o.obj, n.obj) AS obj,
+           CASE WHEN o.subj IS NULL THEN 'added'
+                WHEN n.subj IS NULL THEN 'removed'
+                WHEN abs(n.fused_prob - o.fused_prob) > 0 THEN 'changed'
+           END AS change,
+           o.fused_prob AS old_prob,
+           n.fused_prob AS new_prob
+    FROM old_f o FULL OUTER JOIN new_f n
+      ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+    WHERE (CASE WHEN o.subj IS NULL THEN 'added'
+                WHEN n.subj IS NULL THEN 'removed'
+                WHEN abs(n.fused_prob - o.fused_prob) > 0 THEN 'changed'
+           END) IS NOT NULL
+    """,
+)
+def kg_snapshot_diff(spark, sf_dir):
+    """Delta between two fused snapshots (``operators.fusion.kg_diff``):
+    overlapping-but-neither-subset event slices exercise added, removed,
+    AND changed classifications; scores pre-rounded to the gate's 6dp
+    so both engines diff identical operands. Extra tier: rotation
+    candidate for round 8."""
+    from ..operators.fusion import fuse_triples, kg_diff
+
+    t = _fusion_fixture(spark, sf_dir)
+    old = fuse_triples(t.filter(F.col("doc_id") % 2 == 0)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    new = fuse_triples(t.filter(F.col("doc_id") % 3 != 0)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    return kg_diff(old, new)
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL (one CTE pair per
+    iteration — DuckDB needs no recursion, and the unrolled form is
+    exactly the operator's update rule). The gate graph is the
+    BIDIRECTIONAL subject<->entity graph (prefixed node ids keep the
+    two id spaces disjoint), so no node dangles here; the dangling-
+    redistribution branch is pinned by test_centrality's NumPy parity
+    instead."""
+    head = """
+    triples AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+             'o' || CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                              AS BIGINT) % 10 AS VARCHAR) AS obj
+      FROM events
+    ),
+    edges AS (
+      SELECT subj AS src, obj AS dst FROM triples
+      UNION
+      SELECT obj AS src, subj AS dst FROM triples
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+      FROM r{i - 1} r
+      JOIN edges e ON e.src = r.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * coalesce(c.c, 0) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    return (
+        "WITH "
+        + head
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters}
+    """
+    )
+
+
+@register_extra("pagerank_entities", _pagerank_sql())
+def pagerank_entities(spark, sf_dir):
+    """Global entity importance over the bidirectional subject<->entity
+    graph via ``operators.centrality.pagerank`` (fixed 3 iterations for
+    oracle determinism; every node has out-edges here, so both engines
+    run the pure propagation rule). Extra tier: rotation candidate for
+    round 8."""
+    from ..operators.centrality import pagerank
+
+    t = _fusion_fixture(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("subj").cast("string")).alias("subj"),
+        F.concat(F.lit("o"), F.col("obj").cast("string")).alias("obj"),
+    )
+    edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).unionByName(
+        t.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, max_iter=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

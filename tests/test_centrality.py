@@ -1,0 +1,84 @@
+"""PageRank: parity with a dense NumPy power iteration (same dangling
+redistribution), mass conservation, multigraph semantics, early stop."""
+
+import numpy as np
+import pytest
+
+from information_extraction_for_chinese_nlp_spark.operators.centrality import pagerank
+
+# iterative multi-action tests: excluded from the fast inner-loop tier
+# (gate-level coverage lives in the pagerank_entities oracle compare)
+pytestmark = pytest.mark.slow
+
+_EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 2)]  # node 3 dangles
+
+
+def _ref(edge_list, n, d=0.85, iters=10):
+    deg = np.zeros(n)
+    for u, _ in edge_list:
+        deg[u] += 1
+    m = np.zeros((n, n))
+    for u, v in edge_list:
+        m[v, u] += 1.0 / deg[u]
+    r = np.full(n, 1.0 / n)
+    dangling = deg == 0
+    for _ in range(iters):
+        r = (1 - d) / n + d * (m @ r + r[dangling].sum() / n)
+    return r
+
+
+def _spark_ranks(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return {r.node: r.rank for r in pagerank(edges, **kw).collect()}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    got = _spark_ranks(spark, _EDGES, max_iter=10)
+    want = _ref(_EDGES, 5)
+    assert set(got) == set(range(5))
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # mass conserved (dangling redistribution): ranks sum to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # node 2 drains ALL its mass to 3 (outdeg 1), so the hub-fed
+    # dangler tops the ranking; the 3-in-edge hub beats the sources
+    assert got[3] == max(got.values())
+    assert got[2] > got[0]
+
+
+def test_pagerank_multigraph_counts_parallel_edges(spark):
+    doubled = _EDGES + [(0, 1)]  # 0 endorses 1 twice (deg 0 becomes 3)
+    got = _spark_ranks(spark, doubled, max_iter=10)
+    want = _ref(doubled, 5)
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # the doubled endorsement must matter
+    single = _spark_ranks(spark, _EDGES, max_iter=10)
+    assert got[1] > single[1]
+
+
+def test_pagerank_spans_checkpoint_boundaries(spark):
+    # 10 iterations with cuts every 3: same result as uncut
+    a = _spark_ranks(spark, _EDGES, max_iter=10, checkpoint_every=3)
+    b = _spark_ranks(spark, _EDGES, max_iter=10, checkpoint_every=100)
+    for v in range(5):
+        assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_pagerank_tol_early_stop_close_to_converged(spark):
+    far = _spark_ranks(spark, _EDGES, max_iter=50, checkpoint_every=5)
+    early = _spark_ranks(
+        spark, _EDGES, max_iter=50, tol=1e-10, checkpoint_every=5
+    )
+    for v in range(5):
+        assert abs(far[v] - early[v]) < 1e-7
+
+
+def test_pagerank_validates_args(spark):
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(edges, max_iter=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, checkpoint_every=0)

@@ -201,3 +201,96 @@ def test_entity_salience_weighted_degree(spark):
     assert abs(e.support - (0.5 + 0.5 + 0.3)) < 1e-9
     f = got["f"]
     assert f.n_facts == 1 and abs(f.support - 0.9) < 1e-9
+
+
+def test_validate_facts_status_branches(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        validate_facts,
+    )
+
+    fused = spark.createDataFrame(
+        [
+            ("s", "amount", "500元", 0.9, 3),   # ok
+            ("s", "amount", "five", 0.9, 3),    # bad_object
+            ("s", "amount", "900元", 0.2, 3),   # low_conf (after pattern)
+            ("s", "date", "2024-01-01", 0.9, 1),  # low_support
+            ("s", "mystery", "x", 0.9, 9),      # unknown_pred
+        ],
+        "subj string, pred string, obj string, fused_prob double, n_docs long",
+    )
+    constraints = spark.createDataFrame(
+        [
+            ("amount", "[0-9,]+元", 0.5, None),
+            ("date", None, None, 2),
+        ],
+        "pred string, obj_pattern string, min_prob double, min_docs int",
+    )
+    got = {
+        (r.pred, r.obj): r.status
+        for r in validate_facts(fused, constraints).collect()
+    }
+    assert got[("amount", "500元")] == "ok"
+    assert got[("amount", "five")] == "bad_object"
+    assert got[("amount", "900元")] == "low_conf"
+    assert got[("date", "2024-01-01")] == "low_support"
+    assert got[("mystery", "x")] == "unknown_pred"
+    # pattern is anchored: a partial match is not enough
+    fused2 = spark.createDataFrame(
+        [("s", "amount", "x500元y", 0.9, 3)],
+        "subj string, pred string, obj string, fused_prob double, n_docs long",
+    )
+    assert (
+        validate_facts(fused2, constraints).collect()[0].status == "bad_object"
+    )
+
+
+def test_validate_facts_broadcasts_constraints(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        validate_facts,
+    )
+
+    fused = spark.createDataFrame(
+        [("s", "p", "o", 0.9, 3)],
+        "subj string, pred string, obj string, fused_prob double, n_docs long",
+    )
+    constraints = spark.createDataFrame(
+        [("p", None, None, None)],
+        "pred string, obj_pattern string, min_prob double, min_docs int",
+    )
+    out = validate_facts(fused, constraints)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kg_diff_classifies_and_prunes_steady_state(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        kg_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("s", "p", "same", 0.5),
+            ("s", "p", "moved", 0.5),
+            ("s", "p", "gone", 0.5),
+            ("s", "p", "nudged", 0.5),
+        ],
+        "subj string, pred string, obj string, fused_prob double",
+    )
+    new = spark.createDataFrame(
+        [
+            ("s", "p", "same", 0.5),
+            ("s", "p", "moved", 0.8),
+            ("s", "p", "fresh", 0.9),
+            ("s", "p", "nudged", 0.50000001),
+        ],
+        "subj string, pred string, obj string, fused_prob double",
+    )
+    got = {r.obj: r for r in kg_diff(old, new, tol=1e-6).collect()}
+    assert set(got) == {"moved", "gone", "fresh"}  # steady state pruned
+    assert got["moved"].change == "changed"
+    assert got["moved"].old_prob == 0.5 and got["moved"].new_prob == 0.8
+    assert got["gone"].change == "removed" and got["gone"].new_prob is None
+    assert got["fresh"].change == "added" and got["fresh"].old_prob is None
