@@ -176,7 +176,40 @@ def build_queries(spark):
         # LINE and measured ~two orders slower here (BASELINE.md A/B,
         # `python bench.py --line-dedup-ab`)
         "q11_line_dedup_hot1e5": lambda: _line_dedup_force(ld_docs),
+        # iterative graph analytics at corpus-independent scale: 3
+        # PageRank rounds over a deterministic 2M-edge graph (200k
+        # nodes, 10% of edges funneled into 100 hubs — the skew case).
+        # Per-round cost is the rank-vector shuffle only; the edge
+        # table is partitioned + lineage-cut once in the operator
+        "q12_pagerank_2m": lambda: _pagerank_count(spark),
     }
+
+
+def _pagerank_count(spark):
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.centrality import (
+        pagerank,
+    )
+
+    n_edges, n_nodes, n_hubs = 2_000_000, 200_000, 100
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("src"),
+        F.when(
+            F.col("id") % 10 == 0, F.pmod(F.col("id"), F.lit(n_hubs))
+        )
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_nodes)))
+        .alias("dst"),
+    )
+    # a ring guarantees every node an out-edge: the hashed src column
+    # leaves ~9 of 200k nodes dangling by chance, and the key should
+    # time the pure lazy-chain propagation path, not the per-round
+    # dangling materialization
+    ring = spark.range(n_nodes).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n_nodes).alias("dst"),
+    )
+    return pagerank(edges.unionByName(ring), max_iter=3).count()
 
 
 def _graph_count(spark, docs):

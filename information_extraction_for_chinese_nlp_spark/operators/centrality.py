@@ -81,51 +81,61 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    # nodes with no out-edges, fixed across iterations
+    # nodes with no out-edges, fixed across iterations. When the graph
+    # has none (bidirectional or cleaned graphs — the common KG case),
+    # the loop below stays a PURE lazy chain, lineage-cut only every
+    # checkpoint_every rounds. When danglers exist, each round needs
+    # their total rank mass — a second consumer of the rank vector —
+    # so ranks are materialized per round (eager localCheckpoint on a
+    # |V|-row frame) and the mass arrives as a driver scalar (same
+    # tiny-by-contract class as the CC convergence probe); a lazy
+    # broadcast subplan here would re-execute the rank lineage from
+    # the last cut, O(window²) recompute.
     dangling_nodes = nodes.join(
         deg.withColumnRenamed(src, "node"), on="node", how="left_anti"
     ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.take(1))
+    if has_dangling:
+        ranks = ranks.localCheckpoint(eager=True)
 
     for it in range(max_iter):
+        dm = 0.0
+        if has_dangling:
+            dm = (
+                dangling_nodes.join(ranks, on="node")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
         contribs = (
             linked.join(ranks.withColumnRenamed("node", src), on=src)
             .groupBy(dst)
             .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
         )
-        dangling = dangling_nodes.join(ranks, on="node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        new_ranks = (
-            nodes.join(contribs.withColumnRenamed(dst, "node"), on="node",
-                       how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+        new_ranks = nodes.join(
+            contribs.withColumnRenamed(dst, "node"), on="node", how="left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_c"), F.lit(0.0)) + dm / n)
+            ).alias("rank"),
         )
         at_boundary = (it + 1) % checkpoint_every == 0 or it == max_iter - 1
-        if at_boundary:
-            if tol is not None and it < max_iter - 1:
-                # fold the convergence probe into the same pass that
-                # materializes the checkpoint: one action reads both
-                probe = new_ranks.join(
-                    ranks.withColumnRenamed("rank", "_prev"), on="node"
-                ).localCheckpoint(eager=True)
-                delta = probe.agg(
-                    F.sum(F.abs(F.col("rank") - F.col("_prev")))
-                ).collect()[0][0]
-                new_ranks = probe.drop("_prev")
-                if delta is not None and delta < tol:
-                    return new_ranks
-            else:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None and at_boundary and it < max_iter - 1:
+            # fold the convergence probe into the same pass that
+            # materializes the checkpoint: one action reads both
+            probe = new_ranks.join(
+                ranks.withColumnRenamed("rank", "_prev"), on="node"
+            ).localCheckpoint(eager=True)
+            delta = probe.agg(
+                F.sum(F.abs(F.col("rank") - F.col("_prev")))
+            ).collect()[0][0]
+            new_ranks = probe.drop("_prev")
+            if delta is not None and delta < tol:
+                return new_ranks
+        elif has_dangling or at_boundary:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     return ranks
