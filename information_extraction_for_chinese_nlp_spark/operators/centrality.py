@@ -34,6 +34,7 @@ def pagerank(
     max_iter: int = 10,
     tol: float | None = None,
     checkpoint_every: int = 5,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """edges(src, dst) directed (parallel edges count as repeated
     endorsements) -> (node, rank), ranks summing to ~1.
@@ -51,6 +52,21 @@ def pagerank(
     action — no extra jobs on other iterations). When None the loop
     runs exactly ``max_iter`` iterations, which keeps the output
     reproducible for oracle comparison.
+
+    ``materialize_edges``: True (default) degree-annotates the edges
+    once and cuts their lineage — each round re-reads the materialized
+    blocks instead of re-deriving the input plan. NOTE a measured
+    limitation: ``localCheckpoint`` does NOT carry partitioning
+    through the cut in this runtime, so past the rank vector's
+    broadcast threshold the edge side re-exchanges per round. The
+    at-scale answer is layout, not checkpointing: persist the edges
+    bucketed by ``src`` (``sources.bucketing.write_bucketed``), read
+    them back, and pass ``materialize_edges=False`` — the bucketed
+    scan reports its hash partitioning, so the degree groupBy AND
+    every round's rank join co-locate with no edge-side exchange
+    (plan-asserted in test_centrality); each round re-scans the
+    bucketed files, which is the cheap half of the trade at 10^9+
+    edges where the shuffle is the bottleneck.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -65,15 +81,11 @@ def pagerank(
         .distinct()
     )
     deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
-    # degree-annotated edges: built once, partitioned on the join key,
-    # lineage cut — every iteration reuses this partitioning so only
-    # the (small) rank vector moves per round
-    linked = (
-        edges.select(src, dst)
-        .join(deg, on=src)
-        .repartition(src)
-        .localCheckpoint(eager=True)
-    )
+    # degree-annotated edges: built once; see the materialize_edges
+    # docstring note for the cut-vs-layout trade
+    linked = edges.select(src, dst).join(deg, on=src)
+    if materialize_edges:
+        linked = linked.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
@@ -122,8 +134,12 @@ def pagerank(
                 * (F.coalesce(F.col("_c"), F.lit(0.0)) + dm / n)
             ).alias("rank"),
         )
-        at_boundary = (it + 1) % checkpoint_every == 0 or it == max_iter - 1
-        if tol is not None and at_boundary and it < max_iter - 1:
+        # the FINAL iteration is never cut: the caller's first action
+        # executes the (bounded, <= checkpoint_every rounds) lazy tail
+        # directly instead of paying a materialization pass it may not
+        # need, and the returned plan stays inspectable
+        at_cut = (it + 1) % checkpoint_every == 0 and it < max_iter - 1
+        if tol is not None and at_cut:
             # fold the convergence probe into the same pass that
             # materializes the checkpoint: one action reads both
             probe = new_ranks.join(
@@ -135,7 +151,7 @@ def pagerank(
             new_ranks = probe.drop("_prev")
             if delta is not None and delta < tol:
                 return new_ranks
-        elif has_dangling or at_boundary:
+        elif at_cut or (has_dangling and it < max_iter - 1):
             new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     return ranks

@@ -261,6 +261,55 @@ q10_cc_full vs q10b_cc_incremental (sf-independent synthetic fixture:
 iterative stages touch only ~5k contraction edges vs 437k.
 """))
 
+from information_extraction_for_chinese_nlp_spark.operators.fusion import fuse_triples
+_mentions = spark.read.parquet(f"{SF}/events.parquet").select(
+    F.col("user_id").alias("subj"),
+    F.col("event_type").alias("pred"),
+    (F.col("value").cast("long") % 10).alias("obj"),
+    F.least(F.lit(0.95), F.col("value") / 19.0).alias("prob"),
+    F.col("event_id").alias("doc_id"),
+)
+q = fuse_triples(_mentions)
+sections.append(("fuse_triples (noisy-or knowledge fusion)", plan_of(q), """
+What to read: ONE exchange on the fact key. The log-space noisy-or sum,
+mention count, max, and min are HashAggregate(partial) BELOW the
+exchange — a hot fact with millions of identical mentions
+partial-aggregates before any data moves, so fact-popularity skew
+never skews the shuffle. The countDistinct(doc) rides Spark's standard
+two-phase expand; no joins, no window, nothing Python-side.
+"""))
+
+from information_extraction_for_chinese_nlp_spark.operators.centrality import pagerank
+_pr_edges = spark.range(100_000).select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(10_000)).alias("src"),
+    F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(10_000)).alias("dst"),
+).unionByName(
+    spark.range(10_000).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 10_000).alias("dst")
+    )
+)
+q = pagerank(_pr_edges, max_iter=1)
+sections.append(("pagerank (one propagation round)", plan_of(q), """
+What to read: the edge side enters every round as `Scan ExistingRDD`
+(degree-annotated, lineage-cut ONCE before iteration — rounds re-read
+materialized blocks, never re-derive the input plan), and the rank
+vector BROADCASTS onto it (BroadcastHashJoin) — below the broadcast
+threshold a round's only exchange on data is the contribution groupBy
+on dst. Measured limitation, stated honestly: localCheckpoint does
+NOT carry partitioning through the cut in this runtime, so past the
+rank vector's broadcast threshold the edge side re-exchanges per
+round; the at-scale answer is layout — persist edges bucketed by src
+and pass materialize_edges=False, and the bucketed scan's reported
+partitioning co-locates the degree groupBy and every round's rank
+join with no edge-side exchange (plan-asserted in
+test_centrality::test_pagerank_bucketed_edges_colocate_no_edge_exchange).
+The dangling branch is absent here (dangle-free graph detected up
+front); with danglers the mass arrives as a driver scalar off the
+per-round materialized ranks, never as a lazy broadcast subplan that
+would re-execute rank lineage. Benchmarked as q12_pagerank_2m (2M
+edges, 200k nodes, 100-hub skew, 3 rounds).
+"""))
+
 out = ["# PLANS — physical-plan audit (sf0.01, local[8])",
        "",
        "Generated by scripts/audit_plans.py; regenerate after plan-shape",

@@ -82,3 +82,40 @@ def test_pagerank_validates_args(spark):
         pagerank(edges, max_iter=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(edges, checkpoint_every=0)
+
+
+def test_pagerank_bucketed_edges_colocate_no_edge_exchange(spark):
+    """The at-scale layout path: edges persisted bucketed by src and
+    passed with materialize_edges=False — the degree groupBy and the
+    per-round rank join co-locate on the bucketed scan, so the plan
+    carries strictly fewer exchanges than the materialized path (whose
+    localCheckpoint drops partitioning), and ranks agree exactly."""
+    from information_extraction_for_chinese_nlp_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(_EDGES * 4, "src long, dst long")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(edges, "t_pr_edges", "src", n_buckets=4)
+        bucketed = spark.table("t_pr_edges")
+
+        def exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.split("== Initial Plan ==")[0].count("Exchange")
+
+        a = pagerank(bucketed, max_iter=1, materialize_edges=False)
+        b = pagerank(edges, max_iter=1)
+        assert exchanges(a) < exchanges(b), (exchanges(a), exchanges(b))
+
+        ra = {r.node: r.rank for r in a.collect()}
+        rb = {r.node: r.rank for r in b.collect()}
+        assert set(ra) == set(rb)
+        for k in ra:
+            assert abs(ra[k] - rb[k]) < 1e-12
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS t_pr_edges")

@@ -294,3 +294,64 @@ def test_kg_diff_classifies_and_prunes_steady_state(spark):
     assert got["moved"].old_prob == 0.5 and got["moved"].new_prob == 0.8
     assert got["gone"].change == "removed" and got["gone"].new_prob is None
     assert got["fresh"].change == "added" and got["fresh"].old_prob is None
+
+
+def test_fusion_seeded_sweep_matches_python_reference(spark):
+    """2k seeded random mentions over ~150 facts (probs spanning 0,
+    near-0, mid, near-1, exactly 1.0, and NULL): fuse_triples matches
+    a direct Python product fold within float tolerance, and the
+    result is invariant to input partitioning/order."""
+    import random
+
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        fuse_triples,
+    )
+
+    rng = random.Random(1347)
+    rows = []
+    for _ in range(2000):
+        subj = f"s{rng.randrange(30)}"
+        pred = f"p{rng.randrange(5)}"
+        obj = f"o{rng.randrange(4)}"
+        roll = rng.random()
+        if roll < 0.05:
+            prob = None  # quarantined
+        elif roll < 0.10:
+            prob = 1.0  # ln(0) guard + clamp path
+        elif roll < 0.15:
+            prob = 0.0  # no-evidence mention (still counts as support)
+        else:
+            prob = round(rng.random(), 6)
+        rows.append((subj, pred, obj, prob, rng.randrange(200)))
+
+    ref: dict = {}
+    for subj, pred, obj, prob, doc in rows:
+        if prob is None:
+            continue
+        fact = ref.setdefault(
+            (subj, pred, obj),
+            {"miss": 1.0, "n": 0, "docs": set(), "mx": 0.0, "fd": doc},
+        )
+        fact["miss"] *= 1.0 - prob
+        fact["n"] += 1
+        fact["docs"].add(doc)
+        fact["mx"] = max(fact["mx"], prob)
+        fact["fd"] = min(fact["fd"], doc)
+
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, prob double, doc_id long"
+    )
+    for reshaped in (df, df.repartition(17, "doc_id"), df.coalesce(1)):
+        got = {
+            (r.subj, r.pred, r.obj): r
+            for r in fuse_triples(reshaped).collect()
+        }
+        assert set(got) == set(ref)
+        for k, w in ref.items():
+            g = got[k]
+            want = max(1.0 - w["miss"], w["mx"])
+            assert abs(g.fused_prob - want) < 1e-6, (k, g.fused_prob, want)
+            assert g.fused_prob >= g.max_prob  # exact clamp invariant
+            assert g.n_mentions == w["n"], k
+            assert g.n_docs == len(w["docs"]), k
+            assert g.max_prob == w["mx"] and g.first_doc == w["fd"], k
