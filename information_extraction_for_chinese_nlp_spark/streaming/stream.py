@@ -636,6 +636,7 @@ def stream_fuse_triples(
     prob_col: str = "prob",
     doc_col: str = "doc_id",
     eps: float = 1e-12,
+    ts_col: str | None = None,
     available_now: bool = True,
     compact_every: int | None = 10,
     keep_snapshots: int = 2,
@@ -680,6 +681,10 @@ def stream_fuse_triples(
     one merge shuffle over |distinct (fact, doc)| — orders smaller
     than the accumulated mention count for any corpus with repeated
     facts; nothing ever rescans prior batches' raw mentions.
+
+    ``ts_col``: optional mention-timestamp column, mirroring the batch
+    face — first_seen/last_seen ride the partials as combinable
+    min/max, no extra state or pass.
     """
     from pyspark.sql.types import LongType, StructField
 
@@ -700,6 +705,14 @@ def stream_fuse_triples(
                 F.sum(log_miss_expr(prob_col, eps)).alias("_log_miss"),
                 F.count("*").alias("n_mentions"),
                 F.max(prob_col).alias("max_prob"),
+                *(
+                    [
+                        F.min(ts_col).alias("first_seen"),
+                        F.max(ts_col).alias("last_seen"),
+                    ]
+                    if ts_col is not None
+                    else []
+                ),
             )
         )
 
@@ -744,6 +757,14 @@ def stream_fuse_triples(
                     F.sum("_log_miss").alias("_log_miss"),
                     F.sum("n_mentions").alias("n_mentions"),
                     F.max("max_prob").alias("max_prob"),
+                    *(
+                        [
+                            F.min("first_seen").alias("first_seen"),
+                            F.max("last_seen").alias("last_seen"),
+                        ]
+                        if ts_col is not None
+                        else []
+                    ),
                 )
             )
         do_compact = (
@@ -766,6 +787,14 @@ def stream_fuse_triples(
             F.count("*").alias("n_docs"),
             F.max("max_prob").alias("max_prob"),
             F.min(doc_col).alias("first_doc"),
+            *(
+                [
+                    F.min("first_seen").alias("first_seen"),
+                    F.max("last_seen").alias("last_seen"),
+                ]
+                if ts_col is not None
+                else []
+            ),
         )
         fused.select(
             *fact,
@@ -774,6 +803,7 @@ def stream_fuse_triples(
             "n_docs",
             "max_prob",
             "first_doc",
+            *(["first_seen", "last_seen"] if ts_col is not None else []),
         ).write.mode("overwrite").parquet(
             f"{output_path}/fused/batch_id={batch_id}"
         )

@@ -791,3 +791,60 @@ def test_stream_fuse_triples_validates_args(spark, tmp_path):
         stream_fuse_triples(stream, "o", "c", compact_every=0)
     with _pytest.raises(ValueError, match="keep_snapshots"):
         stream_fuse_triples(stream, "o", "c", keep_snapshots=0)
+
+
+def test_stream_fuse_triples_temporal_scoping_matches_batch(spark, tmp_path):
+    """ts_col mirrors the batch face: first_seen/last_seen over
+    SUPPORTED mentions accumulate across micro-batches as combinable
+    min/max and equal fuse_triples(ts_col=...) over the concatenation."""
+    from datetime import datetime
+
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        fuse_triples,
+    )
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_fuse_triples,
+    )
+
+    schema = (
+        "subj string, pred string, obj string, prob double, "
+        "doc_id long, ts timestamp"
+    )
+    rows = [
+        ("s", "p", "a", 0.5, 1, datetime(2024, 3, 1)),
+        ("s", "p", "a", 0.4, 2, datetime(2024, 1, 5)),
+        ("s", "p", "a", None, 3, datetime(2020, 1, 1)),  # ignored
+        ("s", "p", "b", 0.9, 4, datetime(2024, 6, 1)),
+    ]
+    src = str(tmp_path / "m")
+    spark.createDataFrame(rows, schema).repartition(3).write.parquet(src)
+    out, ckpt = str(tmp_path / "kg"), str(tmp_path / "ckpt")
+
+    q = stream_fuse_triples(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+        ts_col="ts",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.subj, r.pred, r.obj): r
+        for r in _latest_fused(spark, out).collect()
+    }
+    want = {
+        (r.subj, r.pred, r.obj): r
+        for r in fuse_triples(
+            spark.createDataFrame(rows, schema), ts_col="ts"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.first_seen == w.first_seen and g.last_seen == w.last_seen, k
+        assert abs(g.fused_prob - w.fused_prob) < 1e-9
+    a = got[("s", "p", "a")]
+    assert a.first_seen == datetime(2024, 1, 5)  # NULL-prob ts excluded
+    assert a.last_seen == datetime(2024, 3, 1)
