@@ -144,6 +144,8 @@ def resolve_functional(
     score_col: str = "fused_prob",
     docs_col: str = "n_docs",
     mentions_col: str = "n_mentions",
+    strategy: str = "confidence",
+    ts_col: str = "last_seen",
 ) -> DataFrame:
     """Conflict resolution for FUNCTIONAL predicates (at most one true
     object per subject — a case has one 醫療費用 total, a person one
@@ -154,6 +156,13 @@ def resolve_functional(
     distinct-source support, then mention count, then the object value
     itself — reruns, retries, and shuffled inputs all pick the same
     winner.
+
+    ``strategy='recency'`` prepends most-recent-assertion-wins
+    (``ts_col`` descending, from ``fuse_triples(ts_col=...)``'s
+    last_seen) ahead of the confidence chain — the right rule for
+    MUTABLE functional predicates (an address, a case status), where a
+    newer assertion supersedes a better-supported stale one; the
+    confidence chain still breaks same-timestamp ties.
 
     Output per (subj, pred): ``obj`` (the winner), its ``fused_prob``
     / ``n_docs`` / ``n_mentions``, ``n_candidates`` (how many objects
@@ -166,12 +175,20 @@ def resolve_functional(
     runner-up score arrives via ``lead`` over the same window and the
     candidate count via a partition-bounded window count.
     """
+    if strategy not in ("confidence", "recency"):
+        raise ValueError(
+            f"strategy must be 'confidence' or 'recency', got {strategy!r}"
+        )
     order = [
         F.col(score_col).desc(),
         F.col(docs_col).desc(),
         F.col(mentions_col).desc(),
         F.col(obj_col).asc(),
     ]
+    if strategy == "recency":
+        # nulls_last: a fact with no timestamped support never beats a
+        # dated assertion
+        order = [F.col(ts_col).desc_nulls_last()] + order
     w = Window.partitionBy(subj_col, pred_col).orderBy(*order)
     wall = Window.partitionBy(subj_col, pred_col)
     return (
@@ -186,6 +203,7 @@ def resolve_functional(
             score_col,
             docs_col,
             mentions_col,
+            *([ts_col] if strategy == "recency" else []),
             "n_candidates",
             (F.col(score_col) - F.col("_next")).alias("margin"),
         )

@@ -676,3 +676,109 @@ def pagerank_entities(spark, sf_dir):
     ).distinct()
     ranks = pagerank(edges, max_iter=3)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register_extra(
+    "functional_resolution_recency",
+    """
+    WITH triples AS (
+      SELECT user_id AS subj, event_type AS pred,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS obj,
+             least(0.95, value / 19.0) AS prob,
+             event_id AS doc_id, ts
+      FROM events
+    ),
+    fusedt AS (
+      SELECT subj, pred, obj,
+             round(greatest(1 - exp(sum(ln(greatest(1e-12, 1 - prob)))),
+                            max(prob)), 6) AS fused_prob,
+             count(*) AS n_mentions,
+             count(DISTINCT doc_id) AS n_docs,
+             max(ts) AS last_seen
+      FROM triples WHERE prob IS NOT NULL
+      GROUP BY subj, pred, obj
+    ),
+    ranked AS (
+      SELECT subj, pred, obj, fused_prob, n_docs, n_mentions, last_seen,
+             row_number() OVER w AS rn,
+             lead(fused_prob) OVER w AS next_prob,
+             count(*) OVER (PARTITION BY subj, pred) AS n_candidates
+      FROM fusedt
+      WINDOW w AS (PARTITION BY subj, pred
+                   ORDER BY last_seen DESC, fused_prob DESC, n_docs DESC,
+                            n_mentions DESC, obj ASC)
+    )
+    SELECT subj, pred, obj, fused_prob, n_docs, n_mentions, last_seen,
+           n_candidates, round(fused_prob - next_prob, 6) AS margin
+    FROM ranked WHERE rn = 1
+    """,
+)
+def functional_resolution_recency(spark, sf_dir):
+    """Most-recent-assertion-wins resolution for MUTABLE functional
+    predicates (``resolve_functional(strategy='recency')``): last_seen
+    descending supersedes the confidence chain, which still breaks
+    same-timestamp ties. Extra tier: rotation candidate for round 8."""
+    from ..operators.fusion import fuse_triples, resolve_functional
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir), ts_col="ts").withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    resolved = resolve_functional(fused, strategy="recency")
+    return resolved.select(
+        "subj", "pred", "obj", "fused_prob", "n_docs", "n_mentions",
+        "last_seen", "n_candidates",
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+@register_extra(
+    "k_hop_entities",
+    """
+    WITH triples AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+             'o' || CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                              AS BIGINT) % 10 AS VARCHAR) AS obj
+      FROM events
+    ),
+    edges AS (
+      SELECT subj AS src, obj AS dst FROM triples
+      UNION
+      SELECT obj AS src, subj AS dst FROM triples
+    ),
+    h0 AS (SELECT * FROM (VALUES ('o0'), ('o1')) AS s(node)),
+    r1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+    ),
+    h1 AS (
+      SELECT r1.node FROM r1 LEFT JOIN h0 USING (node) WHERE h0.node IS NULL
+    ),
+    v1 AS (SELECT node FROM h0 UNION ALL SELECT node FROM h1),
+    r2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+    ),
+    h2 AS (
+      SELECT r2.node FROM r2 LEFT JOIN v1 USING (node) WHERE v1.node IS NULL
+    )
+    SELECT node, CAST(0 AS BIGINT) AS hop FROM h0
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    """,
+)
+def k_hop_entities(spark, sf_dir):
+    """Minimal-hop 2-neighborhood of two seed entities over the
+    bidirectional subject<->entity graph (``operators.traversal.k_hop``
+    vs an unrolled frontier-expansion SQL). Extra tier: rotation
+    candidate for round 8."""
+    from ..operators.traversal import k_hop
+
+    t = _fusion_fixture(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("subj").cast("string")).alias("subj"),
+        F.concat(F.lit("o"), F.col("obj").cast("string")).alias("obj"),
+    )
+    edges = t.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).unionByName(
+        t.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    ).distinct()
+    seeds = spark.createDataFrame([("o0",), ("o1",)], "node string")
+    return k_hop(edges, seeds, k=2)

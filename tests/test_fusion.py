@@ -355,3 +355,75 @@ def test_fusion_seeded_sweep_matches_python_reference(spark):
             assert g.n_mentions == w["n"], k
             assert g.n_docs == len(w["docs"]), k
             assert g.max_prob == w["mx"] and g.first_doc == w["fd"], k
+
+
+def test_resolve_functional_recency_supersedes_confidence(spark):
+    from datetime import datetime
+
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        resolve_functional,
+    )
+
+    fused = spark.createDataFrame(
+        [
+            # 'old' is better supported, 'new' is more recent
+            ("s", "status", "old", 0.9, 5, 9, datetime(2024, 1, 1)),
+            ("s", "status", "new", 0.6, 1, 1, datetime(2024, 6, 1)),
+            # undated fact must not beat a dated one
+            ("s", "addr", "dated", 0.3, 1, 1, datetime(2024, 2, 2)),
+            ("s", "addr", "undated", 0.9, 5, 9, None),
+        ],
+        "subj string, pred string, obj string, fused_prob double, "
+        "n_docs long, n_mentions long, last_seen timestamp",
+    )
+    got = {
+        (r.subj, r.pred): r
+        for r in resolve_functional(fused, strategy="recency").collect()
+    }
+    assert got[("s", "status")].obj == "new"
+    assert got[("s", "status")].last_seen == datetime(2024, 6, 1)
+    assert got[("s", "addr")].obj == "dated"
+    # confidence strategy (default) picks the other way
+    conf = {
+        (r.subj, r.pred): r.obj for r in resolve_functional(fused).collect()
+    }
+    assert conf[("s", "status")] == "old"
+    assert conf[("s", "addr")] == "undated"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        resolve_functional(fused, strategy="nope")
+
+
+def test_k_hop_minimal_hops_and_early_exit(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.traversal import (
+        k_hop,
+    )
+
+    edges = spark.createDataFrame(
+        # chain a-b-c-d plus a triangle a-b-x; 'iso' is disconnected
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "b")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("a",), ("ghost",)], "node string")
+    got = {r.node: r.hop for r in k_hop(edges, seeds, k=6).collect()}
+    # minimal hop wins even when a longer path exists (b via a directly,
+    # not a-x-b); ghost seed (absent from graph) stays at hop 0;
+    # k=6 over a diameter-3 component early-exits without error
+    assert got == {"a": 0, "ghost": 0, "b": 1, "x": 1, "c": 2, "d": 3}
+
+    # directed: downstream only
+    d = {
+        r.node: r.hop
+        for r in k_hop(
+            edges,
+            spark.createDataFrame([("b",)], "node string"),
+            k=3,
+            directed=True,
+        ).collect()
+    }
+    assert d == {"b": 0, "c": 1, "d": 2}
+
+    # k=0: just the seeds
+    z = {r.node: r.hop for r in k_hop(edges, seeds, k=0).collect()}
+    assert z == {"a": 0, "ghost": 0}

@@ -848,3 +848,74 @@ def test_stream_fuse_triples_temporal_scoping_matches_batch(spark, tmp_path):
     a = got[("s", "p", "a")]
     assert a.first_seen == datetime(2024, 1, 5)  # NULL-prob ts excluded
     assert a.last_seen == datetime(2024, 3, 1)
+
+
+@pytest.mark.slow
+def test_stream_fuse_soak_50_batches_bounded_state_flat_wall(spark, tmp_path):
+    """Long-horizon fusion soak (mirrors the r6 dedup soak): 50
+    micro-batches of mentions re-asserting a rolling fact population.
+    Pins (a) bounded _state listing after many sum-safe compaction
+    cycles, (b) flat per-batch wall (the failure mode is O(batches)
+    incremental-dir growth in the merge read), (c) exact parity with
+    the batch operator over all 50 batches' mentions at the end."""
+    src = str(tmp_path / "mentions")
+    n_batches = 50
+    all_rows = []
+    for b in range(n_batches):
+        # each batch asserts 6 mentions over a slowly-growing fact pool
+        batch = [
+            (
+                f"s{(b + i) % (8 + b // 5)}",
+                "p",
+                f"o{i % 3}",
+                0.3 + 0.05 * ((b + i) % 9),
+                b * 10 + i,
+            )
+            for i in range(6)
+        ]
+        all_rows.extend(batch)
+        spark.createDataFrame(batch, _MENTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "kg")
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_fuse_triples,
+    )
+
+    q = stream_fuse_triples(
+        spark.readStream.schema(_MENTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        compact_every=5,
+    )
+    q.awaitTermination(600)
+
+    # (c) exact parity over the whole horizon
+    _assert_fused_parity(spark, out, all_rows)
+
+    # (a) bounded state: sum-safe compaction keeps the listing flat
+    state_root = os.path.join(out, "_state")
+    dirs = [d for d in os.listdir(state_root) if d.startswith("batch_id=")]
+    assert len(dirs) <= 2 * 5 + 1, sorted(dirs)
+    # fused/ snapshots pruned to keep_snapshots + the live one
+    fused_dirs = [
+        d for d in os.listdir(os.path.join(out, "fused"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(fused_dirs) <= 3, sorted(fused_dirs)
+
+    # (b) flat per-batch wall, same band discipline as the dedup soak
+    prog = [
+        (p["batchId"], p["durationMs"]["triggerExecution"])
+        for p in (q.recentProgress or [])
+        if p.get("durationMs") and p.get("numInputRows", 0) > 0
+    ]
+    assert len(prog) >= 35, len(prog)
+    prog.sort()
+    times = [t for _, t in prog]
+    early = sorted(times[5:20])[len(times[5:20]) // 2]
+    tail = sorted(times[-10:])[5]
+    assert tail <= 3.0 * early, (early, tail, times)
