@@ -782,3 +782,63 @@ def k_hop_entities(spark, sf_dir):
     ).distinct()
     seeds = spark.createDataFrame([("o0",), ("o1",)], "node string")
     return k_hop(edges, seeds, k=2)
+
+
+@register_extra(
+    "fact_eval",
+    f"""
+    WITH {_FUSION_FIXTURE_SQL},
+    pred_facts AS (
+      SELECT subj, pred, obj FROM fused WHERE fused_prob >= 0.9
+    ),
+    gold AS (
+      SELECT subj, pred, obj FROM fused WHERE n_docs >= 3
+    ),
+    correct AS (
+      SELECT p.pred AS class, count(*) AS num_correct
+      FROM pred_facts p JOIN gold g
+        ON p.subj = g.subj AND p.pred = g.pred AND p.obj = g.obj
+      GROUP BY p.pred
+    ),
+    infer AS (
+      SELECT pred AS class, count(*) AS num_infer
+      FROM pred_facts GROUP BY pred
+    ),
+    label AS (
+      SELECT pred AS class, count(*) AS num_label FROM gold GROUP BY pred
+    )
+    SELECT coalesce(i.class, l.class) AS class,
+           coalesce(c.num_correct, 0) AS num_correct,
+           coalesce(i.num_infer, 0) AS num_infer,
+           coalesce(l.num_label, 0) AS num_label,
+           coalesce(round(c.num_correct / CAST(i.num_infer AS DOUBLE), 6),
+                    0.0) AS precision_,
+           coalesce(round(c.num_correct / CAST(l.num_label AS DOUBLE), 6),
+                    0.0) AS recall_
+    FROM infer i
+    FULL OUTER JOIN label l ON l.class = i.class
+    LEFT JOIN correct c ON c.class = coalesce(i.class, l.class)
+    """,
+)
+def fact_eval(spark, sf_dir):
+    """KG-level per-predicate P/R over fused FACTS (not spans): the
+    generic ``operators.evaluation.eval_counts`` composed onto the
+    fusion output — predictions are high-confidence facts, pseudo-gold
+    the well-supported ones, so the gate exercises exact-match fact
+    joins with both miss directions populated. Extra tier: rotation
+    candidate for round 8."""
+    from ..operators.evaluation import eval_counts
+    from ..operators.fusion import fuse_triples
+
+    fused = fuse_triples(_fusion_fixture(spark, sf_dir)).withColumn(
+        "fused_prob", F.round("fused_prob", 6)
+    )
+    pred_facts = fused.filter(F.col("fused_prob") >= 0.9).select(
+        "subj", F.col("pred").alias("class"), "obj"
+    )
+    gold = fused.filter(F.col("n_docs") >= 3).select(
+        "subj", F.col("pred").alias("class"), "obj"
+    )
+    return eval_counts(
+        pred_facts, gold, keys=("subj", "class", "obj"), group_col="class"
+    )

@@ -25,6 +25,12 @@ Spark-native capability for continuously-arriving transcripts:
   doc) combinable partials accumulate across batches and each batch
   finalizes the full fused fact table through the SAME noisy-or
   expressions as the batch operator.
+- ``stream_build_kg``: the COMPOSED streaming KG — all state keyed by
+  the stable pre-canonicalization entity_key, the labeling folded
+  incrementally, and canonicalization applied only at snapshot time,
+  so a late-arriving bridge surface retroactively merges entities and
+  re-fuses their facts; snapshots equal batch ``build_kg`` over the
+  concatenated edges.
 """
 
 from __future__ import annotations
@@ -834,6 +840,375 @@ def stream_fuse_triples(
 
     writer = (
         triples_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_build_kg(
+    edges_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    link_threshold: float = 0.6,
+    available_now: bool = True,
+    compact_every: int | None = 10,
+    keep_snapshots: int = 2,
+):
+    """Incremental COMPOSED KG construction — the streaming face of
+    ``plans.graph.build_kg``: after each micro-batch of extraction
+    edges, ``<output_path>/vertices/batch_id=N`` and
+    ``fused/batch_id=N`` hold the full canonical vertex table and fused
+    fact table over EVERY edge seen so far, equal (pinned in tests) to
+    the batch ``build_kg`` over the concatenated edges.
+
+    The design problem is RETROACTIVE MERGE: a surface variant arriving
+    in batch 9 can link two entities that batches 1-8 kept separate —
+    every fact and surface count attributed to either entity must
+    re-combine. The solution is to key ALL accumulated state by the
+    STABLE pre-canonicalization ``entity_key`` (pred#normalized-value,
+    or pred#raw#surface) and apply the CURRENT labeling only at
+    snapshot time:
+
+    - ``_surfaces/batch_id=N``: per (pred, obj) surface counts +
+      entity_key/obj_norm — combinable sums, sum-safe marked-snapshot
+      compaction (same discipline as ``stream_fuse_triples``).
+    - ``_fstate/batch_id=N``: per (subj, pred, entity_key, doc) fusion
+      partials (log-miss sum, mention count, max prob) — ditto.
+    - ``_labels/batch_id=N``: the (node, component) labeling over
+      linker pairs, folded incrementally: each batch computes banded
+      MinHash-LSH candidates for its NEW raw surfaces against the
+      accumulated surface set (new×old meet in shared (pred, band)
+      buckets, new×new within the batch; exact-Jaccard verified — the
+      same recall construction as the batch linker, so the accumulated
+      pair set equals the batch pair set) and folds them via
+      ``merge_components`` — iteration bounded by the batch's pairs,
+      never the accumulated graph. Full snapshot per batch, pruned.
+
+    Snapshot time: canon_key = coalesce(label, entity_key); vertices =
+    surface counts regrouped under canon_key (argmax surface, summed
+    support); fused = fusion partials regrouped (subj, pred, canon_key)
+    with per-doc merge for exact n_docs — a batch-9 merge silently
+    re-fuses batch-1 facts because the regroup, not the state, carries
+    the canonicalization.
+
+    Replay safety follows the module convention everywhere: each batch
+    overwrites its own directories and reads only ``batch_id < N``
+    (sum states via the marker-aware snapshot/incremental split).
+
+    Scale shape per batch: candidate generation touches only NEW
+    surfaces (banded, capped recall construction — the accumulated
+    surface table is join-probed on bucket keys, never self-joined);
+    the CC fold is batch-bounded; the snapshot regroups are one
+    shuffle each over state tables orders smaller than the edge
+    stream. The per-batch floor is the snapshot regroup — for a pure
+    mention counter use ``stream_fuse_triples``; this operator buys
+    full canonicalization semantics.
+    """
+    from pyspark.sql.types import LongType, StructField
+
+    from ..operators.components import connected_components, merge_components
+    from ..operators.fusion import fused_prob_expr, log_miss_expr
+    from ..operators.linking import char_ngrams, jaccard
+    from ..plans.graph import normalize_objects
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1 (or None to disable)")
+    if keep_snapshots < 1:
+        raise ValueError("keep_snapshots must be >= 1")
+
+    N_BANDS, ROWS_PER_BAND = 8, 1
+
+    def _bands_col():
+        def seed_min(s: int):
+            return F.array_min(
+                F.transform(
+                    F.col("grams"),
+                    lambda g: F.md5(F.concat_ws("#", g, F.lit(s))),
+                )
+            )
+
+        return F.array(
+            *[
+                F.array_join(
+                    F.array(
+                        *[
+                            seed_min(b * ROWS_PER_BAND + r)
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    ),
+                    "|",
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+
+    def _banded(surfaces: DataFrame) -> DataFrame:
+        """(pred, obj, entity_key) raw surfaces -> exploded band rows
+        with grams, mirroring plans.graph.raw_match_pairs' projection."""
+        with_grams = surfaces.withColumn(
+            "grams", char_ngrams(F.col("obj"), 2)
+        ).filter(F.size("grams") > 0)
+        return with_grams.select(
+            "pred",
+            "entity_key",
+            "grams",
+            F.posexplode(_bands_col()).alias("band_id", "band"),
+        )
+
+    def _read_sum_state(spark, root_str, template, batch_id, fs, _Path):
+        """Marker-aware read of a sum-state directory tree: the latest
+        marked snapshot plus incrementals after it (never both a
+        snapshot and the directories it folded in). Returns
+        (frame_or_None, snap_ids, prior_ids)."""
+        prior_ids: list[int] = []
+        snap_ids: list[int] = []
+        root = _Path(root_str)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                bid = _batch_dir_id(st)
+                if bid is None or bid >= batch_id:
+                    continue
+                prior_ids.append(bid)
+                if fs.exists(_Path(f"{root_str}/batch_id={bid}/_SNAPSHOT")):
+                    snap_ids.append(bid)
+        if not prior_ids:
+            return None, snap_ids, prior_ids
+        lo = max(snap_ids) if snap_ids else min(prior_ids)
+        schema = template.schema.add(StructField("batch_id", LongType()))
+        frame = (
+            spark.read.schema(schema)
+            .option("basePath", root_str)
+            .parquet(root_str)
+            .filter((F.col("batch_id") >= lo) & (F.col("batch_id") < batch_id))
+            .drop("batch_id")
+        )
+        return frame, snap_ids, prior_ids
+
+    def _write_sum_state(state_out, root_str, batch_id, do_compact,
+                         snap_ids, fs, _Path):
+        state_out.write.mode("overwrite").parquet(
+            f"{root_str}/batch_id={batch_id}"
+        )
+        if do_compact:
+            marker = _Path(f"{root_str}/batch_id={batch_id}/_SNAPSHOT")
+            fs.create(marker, True).close()
+            if snap_ids:
+                cutoff = max(snap_ids)
+                for st in fs.listStatus(_Path(root_str)):
+                    bid = _batch_dir_id(st)
+                    if bid is not None and bid < cutoff:
+                        fs.delete(st.getPath(), True)
+
+    def _prune(fs, _Path, root_str, batch_id, keep):
+        root = _Path(root_str)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                bid = _batch_dir_id(st)
+                if bid is not None and bid < batch_id - keep:
+                    fs.delete(st.getPath(), True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, _Path, _ = _hadoop_fs(spark, output_path)
+        normed = normalize_objects(batch_df).localCheckpoint(eager=False)
+
+        # ---- surface-count state (pred, obj): sums ---------------------
+        surf_root = f"{output_path}/_surfaces"
+        surf_partials = normed.groupBy("pred", "obj").agg(
+            F.first("entity_key").alias("entity_key"),
+            F.first("obj_norm").alias("obj_norm"),
+            F.count("*").alias("n"),
+        )
+        prior_surf, surf_snaps, surf_prior = _read_sum_state(
+            spark, surf_root, surf_partials, batch_id, fs, _Path
+        )
+        if prior_surf is not None:
+            surfaces = (
+                prior_surf.unionByName(surf_partials)
+                .groupBy("pred", "obj")
+                .agg(
+                    F.first("entity_key").alias("entity_key"),
+                    F.first("obj_norm").alias("obj_norm"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        else:
+            surfaces = surf_partials
+        surfaces = surfaces.cache()
+
+        # ---- incremental linking over NEW raw surfaces ------------------
+        new_raw = surf_partials.filter(F.col("obj_norm") == "nan").select(
+            "pred", "obj", "entity_key"
+        )
+        if prior_surf is not None:
+            new_raw = new_raw.join(
+                prior_surf.select("pred", "obj").distinct(),
+                on=["pred", "obj"],
+                how="left_anti",
+            )
+        all_raw = surfaces.filter(F.col("obj_norm") == "nan").select(
+            "pred", "obj", "entity_key"
+        )
+        nb = _banded(new_raw).withColumnRenamed("entity_key", "_nk")
+        ab = _banded(all_raw)
+        # new surfaces probe the accumulated banded surfaces on the
+        # bucket key — covers new×old AND new×new (new ⊆ all). The
+        # orientation is NORMALIZED (least/greatest), not filtered to
+        # _nk < key: an old co-bucket surface with a smaller key never
+        # probes again, so a one-sided filter would lose that pair
+        # forever; new×new duplicates collapse in the distinct
+        cand = (
+            nb.join(ab, on=["pred", "band_id", "band"])
+            .filter(F.col("_nk") != F.col("entity_key"))
+            .select(
+                F.least(F.col("_nk"), F.col("entity_key")).alias("src"),
+                F.greatest(F.col("_nk"), F.col("entity_key")).alias("dst"),
+                jaccard(nb["grams"], ab["grams"]).alias("sim"),
+            )
+        )
+        pairs = (
+            cand.filter(F.col("sim") >= link_threshold)
+            .select("src", "dst")
+            .distinct()
+        )
+
+        labels_root = f"{output_path}/_labels"
+        prev_labels = None
+        if fs.exists(_Path(labels_root)):
+            prior = [
+                bid
+                for st in fs.listStatus(_Path(labels_root))
+                if (bid := _batch_dir_id(st)) is not None and bid < batch_id
+            ]
+            if prior:
+                prev_labels = spark.read.schema(
+                    "node string, component string"
+                ).parquet(f"{labels_root}/batch_id={max(prior)}")
+        if prev_labels is None:
+            labels = connected_components(pairs, src="src", dst="dst")
+        else:
+            labels = merge_components(prev_labels, pairs, src="src", dst="dst")
+        labels.write.mode("overwrite").parquet(
+            f"{labels_root}/batch_id={batch_id}"
+        )
+        labels = spark.read.schema("node string, component string").parquet(
+            f"{labels_root}/batch_id={batch_id}"
+        )
+
+        # ---- fusion-partial state (subj, pred, entity_key, doc) --------
+        fstate_root = f"{output_path}/_fstate"
+        f_partials = (
+            normed.filter(F.col("prob").isNotNull())
+            .groupBy("subj", "pred", "entity_key", "doc_id")
+            .agg(
+                F.sum(log_miss_expr("prob")).alias("_log_miss"),
+                F.count("*").alias("n_mentions"),
+                F.max("prob").alias("max_prob"),
+            )
+        )
+        prior_f, f_snaps, f_prior = _read_sum_state(
+            spark, fstate_root, f_partials, batch_id, fs, _Path
+        )
+        if prior_f is not None:
+            fstate = (
+                prior_f.unionByName(f_partials)
+                .groupBy("subj", "pred", "entity_key", "doc_id")
+                .agg(
+                    F.sum("_log_miss").alias("_log_miss"),
+                    F.sum("n_mentions").alias("n_mentions"),
+                    F.max("max_prob").alias("max_prob"),
+                )
+            )
+        else:
+            fstate = f_partials
+        fstate = fstate.cache()
+
+        do_compact = (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        )
+        _write_sum_state(
+            surfaces if (do_compact and surf_prior) else surf_partials,
+            surf_root, batch_id, do_compact and bool(surf_prior),
+            surf_snaps, fs, _Path,
+        )
+        _write_sum_state(
+            fstate if (do_compact and f_prior) else f_partials,
+            fstate_root, batch_id, do_compact and bool(f_prior),
+            f_snaps, fs, _Path,
+        )
+
+        # ---- snapshots: apply the CURRENT labeling ---------------------
+        lbl = labels.withColumnRenamed("node", "entity_key")
+        keyed_surf = surfaces.join(lbl, on="entity_key", how="left").withColumn(
+            "canon_key", F.coalesce("component", "entity_key")
+        )
+        vertices = (
+            keyed_surf.groupBy("canon_key")
+            .agg(
+                F.max_by(
+                    F.struct("obj", "pred"), F.struct(F.col("n"), F.col("obj"))
+                ).alias("_best"),
+                F.sum("n").alias("n_mentions"),
+            )
+            .select(
+                F.md5("canon_key").alias("entity_id"),
+                F.col("_best.obj").alias("canonical_text"),
+                F.col("_best.pred").alias("type"),
+                "n_mentions",
+                "canon_key",
+            )
+        )
+        vertices.drop("canon_key").write.mode("overwrite").parquet(
+            f"{output_path}/vertices/batch_id={batch_id}"
+        )
+
+        keyed_f = fstate.join(lbl, on="entity_key", how="left").withColumn(
+            "canon_key", F.coalesce("component", "entity_key")
+        )
+        fused = (
+            keyed_f.groupBy("subj", "pred", "canon_key", "doc_id")
+            .agg(
+                F.sum("_log_miss").alias("_log_miss"),
+                F.sum("n_mentions").alias("n_mentions"),
+                F.max("max_prob").alias("max_prob"),
+            )
+            .groupBy("subj", "pred", "canon_key")
+            .agg(
+                F.sum("_log_miss").alias("_log_miss"),
+                F.sum("n_mentions").alias("n_mentions"),
+                F.count("*").alias("n_docs"),
+                F.max("max_prob").alias("max_prob"),
+                F.min("doc_id").alias("first_doc"),
+            )
+        )
+        fused.join(
+            vertices.select("canon_key", "canonical_text"), on="canon_key"
+        ).select(
+            "subj",
+            "pred",
+            F.md5("canon_key").alias("entity_id"),
+            "canonical_text",
+            fused_prob_expr("_log_miss", "max_prob").alias("fused_prob"),
+            "n_mentions",
+            "n_docs",
+            "max_prob",
+            "first_doc",
+        ).write.mode("overwrite").parquet(
+            f"{output_path}/fused/batch_id={batch_id}"
+        )
+        surfaces.unpersist()
+        fstate.unpersist()
+
+        _prune(fs, _Path, labels_root, batch_id, keep_snapshots)
+        _prune(fs, _Path, f"{output_path}/vertices", batch_id, keep_snapshots)
+        _prune(fs, _Path, f"{output_path}/fused", batch_id, keep_snapshots)
+
+    writer = (
+        edges_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:

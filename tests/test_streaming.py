@@ -919,3 +919,180 @@ def test_stream_fuse_soak_50_batches_bounded_state_flat_wall(spark, tmp_path):
     early = sorted(times[5:20])[len(times[5:20]) // 2]
     tail = sorted(times[-10:])[5]
     assert tail <= 3.0 * early, (early, tail, times)
+
+
+_EDGE_SCHEMA = (
+    "subj string, pred string, obj string, prob double, doc_id string, "
+    "start int, end int"
+)
+
+
+def _latest_snap(spark, out, table):
+    df = spark.read.option("basePath", f"{out}/{table}").parquet(
+        f"{out}/{table}"
+    )
+    last = df.agg({"batch_id": "max"}).collect()[0][0]
+    return df.filter(df.batch_id == last).drop("batch_id"), last
+
+
+def test_stream_build_kg_retroactive_merge_matches_batch(spark, tmp_path):
+    """The composed streaming KG: batches 0/1 hold two DISSIMILAR raw
+    surfaces under separate entities; batch 2 brings a bridge surface
+    similar to both — the entities must merge RETROACTIVELY, re-fusing
+    facts attributed to either. Final vertices + fused must equal the
+    batch build_kg over the concatenated edges, and a checkpoint
+    restart with no new input changes nothing."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    # A='abcdefgh' and B='efghijkl' share 3 of 11 bigrams (J=0.27,
+    # below the 0.6 link bar) so batches 0 and 1 keep them as SEPARATE
+    # entities; the batch-2 bridge C='abcdefghijkl' hits J=7/11=0.636
+    # against EACH, so the streaming labeling must merge all three
+    # retroactively and the case-1 fact support re-combines. The money
+    # surfaces canonicalize by VALUE across batches with no linker.
+    b0 = [
+        ("case-1", "醫療費用", "98,532元", 0.5, "d0", 0, 7),
+        ("case-1", "醫療費用", "abcdefgh", 0.4, "d1", 0, 8),
+    ]
+    b1 = [
+        ("case-1", "醫療費用", "98532元", 0.5, "d3", 0, 6),  # value merge
+        ("case-1", "醫療費用", "efghijkl", 0.4, "d4", 0, 8),
+        ("case-1", "醫療費用", None, None, "d5", 0, 0),  # quarantined
+    ]
+    b2 = [
+        # the bridge: merges the two entities created two batches apart
+        ("case-1", "醫療費用", "abcdefghijkl", 0.4, "d6", 0, 12),
+    ]
+    src = str(tmp_path / "edges")
+    for batch in (b0, b1, b2):
+        spark.createDataFrame(batch, _EDGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out, ckpt = str(tmp_path / "kg"), str(tmp_path / "ckpt")
+    q = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(180)
+
+    all_edges = spark.createDataFrame(b0 + b1 + b2, _EDGE_SCHEMA)
+    want_v, want_f = build_kg(all_edges)
+
+    got_v, _ = _latest_snap(spark, out, "vertices")
+    gv = {r.entity_id: r for r in got_v.collect()}
+    wv = {r.entity_id: r for r in want_v.collect()}
+    assert set(gv) == set(wv)
+    for k, w in wv.items():
+        g = gv[k]
+        assert (g.canonical_text, g.type, g.n_mentions) == (
+            w.canonical_text, w.type, w.n_mentions
+        ), k
+
+    got_f, _ = _latest_snap(spark, out, "fused")
+    gf = {(r.subj, r.pred, r.entity_id): r for r in got_f.collect()}
+    wf = {(r.subj, r.pred, r.entity_id): r for r in want_f.collect()}
+    assert set(gf) == set(wf)
+    for k, w in wf.items():
+        g = gf[k]
+        assert abs(g.fused_prob - w.fused_prob) < 1e-9, k
+        assert g.n_mentions == w.n_mentions and g.n_docs == w.n_docs, k
+        assert g.canonical_text == w.canonical_text, k
+        assert g.max_prob == w.max_prob and g.first_doc == w.first_doc, k
+
+    # the merge was genuinely retroactive: the previous snapshot kept
+    # alpha as its own entity
+    prev_v = spark.read.parquet(f"{out}/vertices/batch_id=1")
+    assert prev_v.count() == got_v.count() + 1
+
+    # restart, no new input: byte-equal snapshots
+    q2 = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    again, last = _latest_snap(spark, out, "fused")
+    assert {(r.subj, r.pred, r.entity_id): r.fused_prob
+            for r in again.collect()} == {
+        k: v.fused_prob for k, v in gf.items()
+    }
+
+
+def test_stream_build_kg_compaction_and_validation(spark, tmp_path):
+    """Sum-state compaction across 7 batches keeps parity (no double
+    counting through the snapshot/incremental split) and bounds the
+    state listing; bad args fail before the stream starts."""
+    import pytest as _pytest
+
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    rows = []
+    src = str(tmp_path / "edges")
+    for b in range(7):
+        batch = [
+            (
+                f"case-{i % 3}",
+                "醫療費用",
+                f"{(b * 7 + i) % 5},000元",
+                0.3 + 0.1 * (i % 4),
+                f"d{b * 10 + i}",
+                0,
+                6,
+            )
+            for i in range(4)
+        ]
+        rows.extend(batch)
+        spark.createDataFrame(batch, _EDGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "kg")
+    q = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    want_v, want_f = build_kg(spark.createDataFrame(rows, _EDGE_SCHEMA))
+    got_f, _ = _latest_snap(spark, out, "fused")
+    gf = {(r.subj, r.pred, r.entity_id): r for r in got_f.collect()}
+    wf = {(r.subj, r.pred, r.entity_id): r for r in want_f.collect()}
+    assert set(gf) == set(wf)
+    for k, w in wf.items():
+        assert abs(gf[k].fused_prob - w.fused_prob) < 1e-9, k
+        assert gf[k].n_mentions == w.n_mentions, k
+
+    for state in ("_surfaces", "_fstate"):
+        dirs = [
+            d for d in os.listdir(os.path.join(out, state))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) <= 2 * 2 + 1, (state, sorted(dirs))
+    for table in ("vertices", "fused", "_labels"):
+        dirs = [
+            d for d in os.listdir(os.path.join(out, table))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) <= 3, (table, sorted(dirs))
+
+    stream = spark.readStream.schema(_EDGE_SCHEMA).parquet(src)
+    with _pytest.raises(ValueError, match="compact_every"):
+        stream_build_kg(stream, "o", "c", compact_every=0)
+    with _pytest.raises(ValueError, match="keep_snapshots"):
+        stream_build_kg(stream, "o", "c", keep_snapshots=0)
