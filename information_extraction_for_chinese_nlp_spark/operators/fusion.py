@@ -162,7 +162,12 @@ def resolve_functional(
     last_seen) ahead of the confidence chain — the right rule for
     MUTABLE functional predicates (an address, a case status), where a
     newer assertion supersedes a better-supported stale one; the
-    confidence chain still breaks same-timestamp ties.
+    confidence chain still breaks same-timestamp ties. NOTE the margin
+    sign under recency: margin is winner score minus the
+    next-most-RECENT candidate's score, so a NEGATIVE margin flags the
+    stale-but-stronger-runner-up case (the newest assertion won on
+    time despite lower confidence) — the rows a curator should review
+    first, not an anomaly.
 
     Output per (subj, pred): ``obj`` (the winner), its ``fused_prob``
     / ``n_docs`` / ``n_mentions``, ``n_candidates`` (how many objects
@@ -280,10 +285,18 @@ def validate_facts(
     status = (
         F.when(F.col("_known").isNull(), "unknown_pred")
         .when(
+            # NULL-safe: a NULL object can match no pattern, and a bare
+            # ~regexp_like(NULL, ...) is NULL — the branch would be
+            # silently skipped and the fact would validate as 'ok'
             F.col("obj_pattern").isNotNull()
-            & ~F.regexp_like(
-                F.col(obj_col).cast("string"),
-                F.concat(F.lit("^(?:"), F.col("obj_pattern"), F.lit(")$")),
+            & ~F.coalesce(
+                F.regexp_like(
+                    F.col(obj_col).cast("string"),
+                    F.concat(
+                        F.lit("^(?:"), F.col("obj_pattern"), F.lit(")$")
+                    ),
+                ),
+                F.lit(False),
             ),
             "bad_object",
         )

@@ -32,6 +32,43 @@ def normalize_objects(edges: DataFrame) -> DataFrame:
     return normed.withColumn("entity_key", key)
 
 
+# the linker's default banding budget — shared by the batch linker and
+# streaming/stream.stream_build_kg so the two faces generate identical
+# candidate sets (same discipline as fusion's log_miss_expr)
+LINK_N_BANDS, LINK_ROWS_PER_BAND = 8, 1
+
+
+def band_signatures(n_bands: int = LINK_N_BANDS,
+                    rows_per_band: int = LINK_ROWS_PER_BAND):
+    """The MinHash band-signature projection over a ``grams`` column —
+    ONE array expression (per-seed ``array_min`` over md5'd grams, bands
+    joined with '|'), no explode and no shuffle. Shared by
+    ``raw_match_pairs`` and the streaming linker: a change to the seed
+    string, band count, or join format lands on both faces at once."""
+
+    def seed_min(s: int):
+        return F.array_min(
+            F.transform(
+                F.col("grams"), lambda g: F.md5(F.concat_ws("#", g, F.lit(s)))
+            )
+        )
+
+    return F.array(
+        *[
+            F.array_join(
+                F.array(
+                    *[
+                        seed_min(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ]
+                ),
+                "|",
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def _distinct_raw_surfaces(normed: DataFrame) -> DataFrame:
     return (
         normed.filter(F.col("obj_norm") == "nan")
@@ -75,25 +112,7 @@ def raw_match_pairs(
     from ..operators.dedup import _bucket_pairs, _cap_buckets
 
     raw = _distinct_raw_surfaces(normed).filter(F.size("grams") > 0)
-
-    def seed_min(s: int):
-        return F.array_min(
-            F.transform(
-                F.col("grams"), lambda g: F.md5(F.concat_ws("#", g, F.lit(s)))
-            )
-        )
-
-    bands = F.array(
-        *[
-            F.array_join(
-                F.array(
-                    *[seed_min(b * rows_per_band + r) for r in range(rows_per_band)]
-                ),
-                "|",
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = band_signatures(n_bands, rows_per_band)
     banded = raw.select(
         "pred", "entity_key", "grams",
         F.posexplode(bands).alias("band_id", "band"),

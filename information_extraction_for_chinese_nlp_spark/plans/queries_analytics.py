@@ -516,8 +516,8 @@ _CONSTRAINT_ROWS = [
            CASE
              WHEN c.pred IS NULL THEN 'unknown_pred'
              WHEN c.obj_pattern IS NOT NULL
-                  AND NOT regexp_full_match(CAST(f.obj AS VARCHAR),
-                                            c.obj_pattern)
+                  AND NOT coalesce(regexp_full_match(CAST(f.obj AS VARCHAR),
+                                                     c.obj_pattern), FALSE)
                THEN 'bad_object'
              WHEN c.min_prob IS NOT NULL AND f.fused_prob < c.min_prob
                THEN 'low_conf'

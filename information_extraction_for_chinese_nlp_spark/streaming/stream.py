@@ -632,6 +632,96 @@ def windowed_edge_counts(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Sum-state management shared by the incremental-aggregation streams
+# (stream_fuse_triples, stream_build_kg). Unlike the SET state of
+# stream_dedup_exact (where re-reading a compacted directory is
+# idempotent), these states are SUMS — the reader must take the latest
+# marked snapshot plus only the incremental directories AFTER it, never
+# both a snapshot and a directory it folded in.
+# ---------------------------------------------------------------------------
+
+
+def _read_sum_state(spark, root_str, template, batch_id, fs, _Path):
+    """Marker-aware read of a sum-state directory tree. Returns
+    (frame_or_None, snap_ids, prior_ids); the frame covers exactly the
+    accumulated state before ``batch_id`` (residual pre-snapshot dirs —
+    deletion lags one marker behind — are partition-pruned out)."""
+    from pyspark.sql.types import LongType, StructField
+
+    prior_ids: list[int] = []
+    snap_ids: list[int] = []
+    root = _Path(root_str)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            bid = _batch_dir_id(st)
+            if bid is None or bid >= batch_id:
+                # >= batch_id: this batch's own previous attempt —
+                # replay must not read it (it gets overwritten)
+                continue
+            prior_ids.append(bid)
+            if fs.exists(_Path(f"{root_str}/batch_id={bid}/_SNAPSHOT")):
+                snap_ids.append(bid)
+    if not prior_ids:
+        return None, snap_ids, prior_ids
+    lo = max(snap_ids) if snap_ids else min(prior_ids)
+    schema = template.schema.add(StructField("batch_id", LongType()))
+    frame = (
+        spark.read.schema(schema)
+        .option("basePath", root_str)
+        .parquet(root_str)
+        .filter((F.col("batch_id") >= lo) & (F.col("batch_id") < batch_id))
+        .drop("batch_id")
+    )
+    return frame, snap_ids, prior_ids
+
+
+def _write_sum_state(state_out, root_str, batch_id, do_compact, snap_ids,
+                     fs, _Path):
+    """Overwrite this batch's own directory; on compaction, mark it a
+    full snapshot (re-marking after the overwrite is the
+    replay-idempotent last step) and delete directories older than the
+    PREVIOUS marker — still needed if THIS batch replays."""
+    state_out.write.mode("overwrite").parquet(
+        f"{root_str}/batch_id={batch_id}"
+    )
+    if do_compact:
+        marker = _Path(f"{root_str}/batch_id={batch_id}/_SNAPSHOT")
+        fs.create(marker, True).close()
+        if snap_ids:
+            cutoff = max(snap_ids)
+            for st in fs.listStatus(_Path(root_str)):
+                bid = _batch_dir_id(st)
+                if bid is not None and bid < cutoff:
+                    fs.delete(st.getPath(), True)
+
+
+def _prune_batch_dirs(fs, _Path, root_str, batch_id, keep):
+    root = _Path(root_str)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            bid = _batch_dir_id(st)
+            if bid is not None and bid < batch_id - keep:
+                fs.delete(st.getPath(), True)
+
+
+def _require_columns(stream: DataFrame, needed: dict) -> None:
+    """Pre-start schema validation (ADVICE r6 discipline): fail before
+    the writer is built — a missing column discovered inside
+    foreachBatch leaves a wedged checkpoint for a query that can never
+    run."""
+    missing = {
+        role: col for role, col in needed.items()
+        if col is not None and col not in stream.columns
+    }
+    if missing:
+        raise ValueError(
+            f"input stream is missing required columns {missing} "
+            f"(stream has {stream.columns})"
+        )
+
+
 def stream_fuse_triples(
     triples_stream: DataFrame,
     output_path: str,
@@ -672,16 +762,12 @@ def stream_fuse_triples(
     State layout follows the module convention: each batch OVERWRITES
     its own ``_state/batch_id=N`` partials directory and reads only
     ``batch_id < N`` (plus its in-memory partials), so an at-least-once
-    replay is idempotent — exactly-once at rest. Every
-    ``compact_every`` batches the batch writes the MERGED partials as
-    its own directory, marks it ``_SNAPSHOT``, and deletes directories
-    older than the PREVIOUS marker; because partials are sums (not a
-    set), the reader must never double-count — it reads the latest
-    marked snapshot plus only the incremental directories AFTER it,
-    keyed on actual markers so a mid-compaction crash or a
-    ``compact_every`` change between restarts stays consistent.
-    ``fused/`` snapshots older than ``keep_snapshots`` are pruned
-    (they are derived data; replay needs only ``_state``).
+    replay is idempotent — exactly-once at rest. Compaction follows
+    the shared sum-state discipline (``_read_sum_state`` /
+    ``_write_sum_state``): marked snapshots, incrementals-after-marker
+    reads, deletion one marker behind. ``fused/`` snapshots older than
+    ``keep_snapshots`` are pruned (derived data; replay needs only
+    ``_state``).
 
     Scale shape: per-batch cost is one batch-bounded aggregation plus
     one merge shuffle over |distinct (fact, doc)| — orders smaller
@@ -692,15 +778,32 @@ def stream_fuse_triples(
     face — first_seen/last_seen ride the partials as combinable
     min/max, no extra state or pass.
     """
-    from pyspark.sql.types import LongType, StructField
-
     from ..operators.fusion import fused_prob_expr, log_miss_expr
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1 (or None to disable)")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1")
+    _require_columns(
+        triples_stream,
+        {"subj_col": subj_col, "pred_col": pred_col, "obj_col": obj_col,
+         "prob_col": prob_col, "doc_col": doc_col, "ts_col": ts_col},
+    )
     fact = [subj_col, pred_col, obj_col]
+    temporal_partial = (
+        [F.min(ts_col).alias("first_seen"), F.max(ts_col).alias("last_seen")]
+        if ts_col is not None
+        else []
+    )
+    temporal_merge = (
+        [
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        ]
+        if ts_col is not None
+        else []
+    )
+    temporal_out = ["first_seen", "last_seen"] if ts_col is not None else []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -711,51 +814,21 @@ def stream_fuse_triples(
                 F.sum(log_miss_expr(prob_col, eps)).alias("_log_miss"),
                 F.count("*").alias("n_mentions"),
                 F.max(prob_col).alias("max_prob"),
-                *(
-                    [
-                        F.min(ts_col).alias("first_seen"),
-                        F.max(ts_col).alias("last_seen"),
-                    ]
-                    if ts_col is not None
-                    else []
-                ),
+                *temporal_partial,
             )
         )
+        # consumed twice on every batch (state write + fused snapshot):
+        # without the cache the batch-bounded aggregation AND the
+        # source-file read execute twice per batch, forever
+        partials = partials.cache()
 
-        state_root_str = f"{output_path}/_state"
-        fs, _Path, state_root = _hadoop_fs(spark, state_root_str)
-        prior_ids: list[int] = []
-        snap_ids: list[int] = []
-        if fs.exists(state_root):
-            for st in fs.listStatus(state_root):
-                bid = _batch_dir_id(st)
-                if bid is None or bid >= batch_id:
-                    # >= batch_id: this batch's own previous attempt —
-                    # replay must not read it (it gets overwritten)
-                    continue
-                prior_ids.append(bid)
-                if fs.exists(
-                    _Path(f"{state_root_str}/batch_id={bid}/_SNAPSHOT")
-                ):
-                    snap_ids.append(bid)
+        state_root = f"{output_path}/_state"
+        fs, _Path, _ = _hadoop_fs(spark, state_root)
+        prior, snap_ids, prior_ids = _read_sum_state(
+            spark, state_root, partials, batch_id, fs, _Path
+        )
         merged = partials
-        if prior_ids:
-            snap = max(snap_ids) if snap_ids else None
-            # latest marked snapshot + incrementals AFTER it; residual
-            # pre-snapshot dirs (deletion lags one marker behind) are
-            # partition-pruned out — reading them would double-count
-            # the sums they contributed to the snapshot
-            lo = snap if snap is not None else min(prior_ids)
-            schema = partials.schema.add(StructField("batch_id", LongType()))
-            prior = (
-                spark.read.schema(schema)
-                .option("basePath", state_root_str)
-                .parquet(state_root_str)
-                .filter(
-                    (F.col("batch_id") >= lo) & (F.col("batch_id") < batch_id)
-                )
-                .drop("batch_id")
-            )
+        if prior is not None:
             merged = (
                 prior.unionByName(partials)
                 .groupBy(*fact, doc_col)
@@ -763,16 +836,10 @@ def stream_fuse_triples(
                     F.sum("_log_miss").alias("_log_miss"),
                     F.sum("n_mentions").alias("n_mentions"),
                     F.max("max_prob").alias("max_prob"),
-                    *(
-                        [
-                            F.min("first_seen").alias("first_seen"),
-                            F.max("last_seen").alias("last_seen"),
-                        ]
-                        if ts_col is not None
-                        else []
-                    ),
+                    *temporal_merge,
                 )
             )
+
         do_compact = (
             compact_every is not None
             and batch_id > 0
@@ -782,9 +849,9 @@ def stream_fuse_triples(
         if do_compact:
             # consumed twice on compaction batches (snapshot + fused)
             merged = merged.cache()
-        state_out = merged if do_compact else partials
-        state_out.write.mode("overwrite").parquet(
-            f"{state_root_str}/batch_id={batch_id}"
+        _write_sum_state(
+            merged if do_compact else partials,
+            state_root, batch_id, do_compact, snap_ids, fs, _Path,
         )
 
         fused = merged.groupBy(*fact).agg(
@@ -793,14 +860,7 @@ def stream_fuse_triples(
             F.count("*").alias("n_docs"),
             F.max("max_prob").alias("max_prob"),
             F.min(doc_col).alias("first_doc"),
-            *(
-                [
-                    F.min("first_seen").alias("first_seen"),
-                    F.max("last_seen").alias("last_seen"),
-                ]
-                if ts_col is not None
-                else []
-            ),
+            *temporal_merge,
         )
         fused.select(
             *fact,
@@ -809,34 +869,17 @@ def stream_fuse_triples(
             "n_docs",
             "max_prob",
             "first_doc",
-            *(["first_seen", "last_seen"] if ts_col is not None else []),
+            *temporal_out,
         ).write.mode("overwrite").parquet(
             f"{output_path}/fused/batch_id={batch_id}"
         )
         if do_compact:
             merged.unpersist()
+        partials.unpersist()
 
-        if do_compact:
-            # re-marking after the overwrite is the replay-idempotent
-            # last step (the overwrite wiped any marker from a previous
-            # attempt); deletion keeps everything >= the PREVIOUS
-            # marker — still needed if THIS batch replays
-            marker = _Path(f"{state_root_str}/batch_id={batch_id}/_SNAPSHOT")
-            fs.create(marker, True).close()
-            if snap_ids:
-                cutoff = max(snap_ids)
-                for st in fs.listStatus(state_root):
-                    bid = _batch_dir_id(st)
-                    if bid is not None and bid < cutoff:
-                        fs.delete(st.getPath(), True)
-
-        fused_root_str = f"{output_path}/fused"
-        ffs, _FPath, fused_root = _hadoop_fs(spark, fused_root_str)
-        if ffs.exists(fused_root):
-            for st in ffs.listStatus(fused_root):
-                bid = _batch_dir_id(st)
-                if bid is not None and bid < batch_id - keep_snapshots:
-                    ffs.delete(st.getPath(), True)
+        _prune_batch_dirs(
+            fs, _Path, f"{output_path}/fused", batch_id, keep_snapshots
+        )
 
     writer = (
         triples_stream.writeStream.foreachBatch(process_batch)
@@ -852,6 +895,7 @@ def stream_build_kg(
     output_path: str,
     checkpoint_path: str,
     link_threshold: float = 0.6,
+    link_max_bucket: int | None = 10_000,
     available_now: bool = True,
     compact_every: int | None = 10,
     keep_snapshots: int = 2,
@@ -872,8 +916,8 @@ def stream_build_kg(
     snapshot time:
 
     - ``_surfaces/batch_id=N``: per (pred, obj) surface counts +
-      entity_key/obj_norm — combinable sums, sum-safe marked-snapshot
-      compaction (same discipline as ``stream_fuse_triples``).
+      entity_key/obj_norm — combinable sums under the shared sum-state
+      discipline (``_read_sum_state`` / ``_write_sum_state``).
     - ``_fstate/batch_id=N``: per (subj, pred, entity_key, doc) fusion
       partials (log-miss sum, mention count, max prob) — ditto.
     - ``_labels/batch_id=N``: the (node, component) labeling over
@@ -881,10 +925,21 @@ def stream_build_kg(
       MinHash-LSH candidates for its NEW raw surfaces against the
       accumulated surface set (new×old meet in shared (pred, band)
       buckets, new×new within the batch; exact-Jaccard verified — the
-      same recall construction as the batch linker, so the accumulated
-      pair set equals the batch pair set) and folds them via
-      ``merge_components`` — iteration bounded by the batch's pairs,
-      never the accumulated graph. Full snapshot per batch, pruned.
+      same ``plans.graph.band_signatures`` projection as the batch
+      linker, so the accumulated pair set equals the batch pair set)
+      and folds them via ``merge_components`` — iteration bounded by
+      the batch's pairs, never the accumulated graph. Full snapshot per
+      batch, pruned.
+
+    ``link_max_bucket`` caps degenerate (pred, band) buckets like the
+    batch linker (thousands of identical junk surfaces would make the
+    candidate join quadratic); ``None`` = explicit opt-out. Streaming
+    cap semantics are necessarily ORDER-DEPENDENT: pairs a bucket
+    produced while still under the cap are already folded into the
+    labeling and cannot be retracted when the bucket later crosses it
+    (batch drops ALL of an over-cap bucket's pairs), so snapshot ==
+    batch parity is exact only while every bucket stays under the cap
+    — the regime the cap exists to preserve.
 
     Snapshot time: canon_key = coalesce(label, entity_key); vertices =
     surface counts regrouped under canon_key (argmax surface, summed
@@ -906,47 +961,26 @@ def stream_build_kg(
     mention counter use ``stream_fuse_triples``; this operator buys
     full canonicalization semantics.
     """
-    from pyspark.sql.types import LongType, StructField
-
     from ..operators.components import connected_components, merge_components
     from ..operators.fusion import fused_prob_expr, log_miss_expr
     from ..operators.linking import char_ngrams, jaccard
-    from ..plans.graph import normalize_objects
+    from ..plans.graph import band_signatures, normalize_objects
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1 (or None to disable)")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1")
-
-    N_BANDS, ROWS_PER_BAND = 8, 1
-
-    def _bands_col():
-        def seed_min(s: int):
-            return F.array_min(
-                F.transform(
-                    F.col("grams"),
-                    lambda g: F.md5(F.concat_ws("#", g, F.lit(s))),
-                )
-            )
-
-        return F.array(
-            *[
-                F.array_join(
-                    F.array(
-                        *[
-                            seed_min(b * ROWS_PER_BAND + r)
-                            for r in range(ROWS_PER_BAND)
-                        ]
-                    ),
-                    "|",
-                )
-                for b in range(N_BANDS)
-            ]
-        )
+    _require_columns(
+        edges_stream,
+        {"subj": "subj", "pred": "pred", "obj": "obj", "prob": "prob",
+         "doc_id": "doc_id"},
+    )
 
     def _banded(surfaces: DataFrame) -> DataFrame:
         """(pred, obj, entity_key) raw surfaces -> exploded band rows
-        with grams, mirroring plans.graph.raw_match_pairs' projection."""
+        with grams — the SHARED plans.graph.band_signatures projection,
+        so the streaming candidate set cannot drift from the batch
+        linker's."""
         with_grams = surfaces.withColumn(
             "grams", char_ngrams(F.col("obj"), 2)
         ).filter(F.size("grams") > 0)
@@ -954,60 +988,8 @@ def stream_build_kg(
             "pred",
             "entity_key",
             "grams",
-            F.posexplode(_bands_col()).alias("band_id", "band"),
+            F.posexplode(band_signatures()).alias("band_id", "band"),
         )
-
-    def _read_sum_state(spark, root_str, template, batch_id, fs, _Path):
-        """Marker-aware read of a sum-state directory tree: the latest
-        marked snapshot plus incrementals after it (never both a
-        snapshot and the directories it folded in). Returns
-        (frame_or_None, snap_ids, prior_ids)."""
-        prior_ids: list[int] = []
-        snap_ids: list[int] = []
-        root = _Path(root_str)
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                bid = _batch_dir_id(st)
-                if bid is None or bid >= batch_id:
-                    continue
-                prior_ids.append(bid)
-                if fs.exists(_Path(f"{root_str}/batch_id={bid}/_SNAPSHOT")):
-                    snap_ids.append(bid)
-        if not prior_ids:
-            return None, snap_ids, prior_ids
-        lo = max(snap_ids) if snap_ids else min(prior_ids)
-        schema = template.schema.add(StructField("batch_id", LongType()))
-        frame = (
-            spark.read.schema(schema)
-            .option("basePath", root_str)
-            .parquet(root_str)
-            .filter((F.col("batch_id") >= lo) & (F.col("batch_id") < batch_id))
-            .drop("batch_id")
-        )
-        return frame, snap_ids, prior_ids
-
-    def _write_sum_state(state_out, root_str, batch_id, do_compact,
-                         snap_ids, fs, _Path):
-        state_out.write.mode("overwrite").parquet(
-            f"{root_str}/batch_id={batch_id}"
-        )
-        if do_compact:
-            marker = _Path(f"{root_str}/batch_id={batch_id}/_SNAPSHOT")
-            fs.create(marker, True).close()
-            if snap_ids:
-                cutoff = max(snap_ids)
-                for st in fs.listStatus(_Path(root_str)):
-                    bid = _batch_dir_id(st)
-                    if bid is not None and bid < cutoff:
-                        fs.delete(st.getPath(), True)
-
-    def _prune(fs, _Path, root_str, batch_id, keep):
-        root = _Path(root_str)
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                bid = _batch_dir_id(st)
-                if bid is not None and bid < batch_id - keep:
-                    fs.delete(st.getPath(), True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1053,6 +1035,16 @@ def stream_build_kg(
         )
         nb = _banded(new_raw).withColumnRenamed("entity_key", "_nk")
         ab = _banded(all_raw)
+        if link_max_bucket is not None:
+            # cap on the ACCUMULATED bucket size (the join's blowup
+            # factor); see the docstring for the order-dependence note
+            sizes = ab.groupBy("pred", "band_id", "band").agg(
+                F.count("*").alias("_bsz")
+            )
+            ab = ab.join(
+                sizes.filter(F.col("_bsz") <= link_max_bucket).drop("_bsz"),
+                on=["pred", "band_id", "band"],
+            )
         # new surfaces probe the accumulated banded surfaces on the
         # bucket key — covers new×old AND new×new (new ⊆ all). The
         # orientation is NORMALIZED (least/greatest), not filtered to
@@ -1203,9 +1195,13 @@ def stream_build_kg(
         surfaces.unpersist()
         fstate.unpersist()
 
-        _prune(fs, _Path, labels_root, batch_id, keep_snapshots)
-        _prune(fs, _Path, f"{output_path}/vertices", batch_id, keep_snapshots)
-        _prune(fs, _Path, f"{output_path}/fused", batch_id, keep_snapshots)
+        _prune_batch_dirs(fs, _Path, labels_root, batch_id, keep_snapshots)
+        _prune_batch_dirs(
+            fs, _Path, f"{output_path}/vertices", batch_id, keep_snapshots
+        )
+        _prune_batch_dirs(
+            fs, _Path, f"{output_path}/fused", batch_id, keep_snapshots
+        )
 
     writer = (
         edges_stream.writeStream.foreachBatch(process_batch)

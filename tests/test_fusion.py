@@ -427,3 +427,23 @@ def test_k_hop_minimal_hops_and_early_exit(spark):
     # k=0: just the seeds
     z = {r.node: r.hop for r in k_hop(edges, seeds, k=0).collect()}
     assert z == {"a": 0, "ghost": 0}
+
+
+def test_validate_facts_null_object_fails_pattern(spark):
+    # ~regexp_like(NULL, ...) is NULL: without the NULL-safe coalesce a
+    # NULL object would skip the bad_object branch and validate as 'ok'
+    from information_extraction_for_chinese_nlp_spark.operators.fusion import (
+        validate_facts,
+    )
+
+    fused = spark.createDataFrame(
+        [("s", "amount", None, 0.9, 3), ("s", "free", None, 0.9, 3)],
+        "subj string, pred string, obj string, fused_prob double, n_docs long",
+    )
+    constraints = spark.createDataFrame(
+        [("amount", "[0-9]+元", None, None), ("free", None, None, None)],
+        "pred string, obj_pattern string, min_prob double, min_docs int",
+    )
+    got = {r.pred: r.status for r in validate_facts(fused, constraints).collect()}
+    assert got["amount"] == "bad_object"  # NULL matches no pattern
+    assert got["free"] == "ok"  # no pattern constraint -> NULL passes

@@ -1096,3 +1096,54 @@ def test_stream_build_kg_compaction_and_validation(spark, tmp_path):
         stream_build_kg(stream, "o", "c", compact_every=0)
     with _pytest.raises(ValueError, match="keep_snapshots"):
         stream_build_kg(stream, "o", "c", keep_snapshots=0)
+
+
+def test_stream_fuse_and_kg_validate_schema_before_start(spark, tmp_path):
+    """Pre-start schema validation (the ADVICE-r6 discipline, applied to
+    the new streaming operators): a missing/mistyped column name fails
+    BEFORE the writer is built — not inside the first micro-batch,
+    which would leave a wedged checkpoint."""
+    import pytest as _pytest
+
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+        stream_fuse_triples,
+    )
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    stream = spark.readStream.schema(_MENTION_SCHEMA).parquet(str(src))
+    with _pytest.raises(ValueError, match="probability"):
+        stream_fuse_triples(stream, "o", "c", prob_col="probability")
+    with _pytest.raises(ValueError, match="ts"):
+        stream_fuse_triples(stream, "o", "c", ts_col="ts")
+    # edge stream lacking doc_id
+    bad = spark.readStream.schema("subj string, pred string, obj string, prob double").parquet(str(src))
+    with _pytest.raises(ValueError, match="doc_id"):
+        stream_build_kg(bad, "o", "c")
+
+
+def test_stream_build_kg_bucket_cap_drops_degenerate_links(spark, tmp_path):
+    """link_max_bucket=1 drops every multi-member bucket, so the two
+    similar surfaces stay SEPARATE entities — the cap bounds the
+    candidate join instead of letting a degenerate bucket go quadratic."""
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    rows = [
+        ("c1", "醫療費用", "unknown-alpha", 0.5, "d1", 0, 13),
+        ("c1", "醫療費用", "unknown-alphx", 0.5, "d2", 0, 13),
+    ]
+    src = str(tmp_path / "edges")
+    spark.createDataFrame(rows, _EDGE_SCHEMA).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "kg")
+    q = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA).parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        link_max_bucket=1,
+    )
+    q.awaitTermination(120)
+    got_v, _ = _latest_snap(spark, out, "vertices")
+    assert got_v.count() == 2  # no link: the cap suppressed the bucket
