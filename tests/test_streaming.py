@@ -3,6 +3,8 @@ windowed rollup aggregates with watermark."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from information_extraction_for_chinese_nlp_spark.plans.pipeline import extract_triples
 from information_extraction_for_chinese_nlp_spark.sources.transcripts import synth_transcripts
 from information_extraction_for_chinese_nlp_spark.streaming.stream import (
@@ -1147,3 +1149,61 @@ def test_stream_build_kg_bucket_cap_drops_degenerate_links(spark, tmp_path):
     q.awaitTermination(120)
     got_v, _ = _latest_snap(spark, out, "vertices")
     assert got_v.count() == 2  # no link: the cap suppressed the bucket
+
+
+def test_stream_build_kg_real_extraction_edges_parity(spark, tmp_path):
+    """Corpus-shaped parity: edges from the REAL extraction pipeline
+    over synthetic transcripts (money surfaces, raw long-tail, multi-
+    mention facts), split across 4 micro-batches in conversation order
+    — final snapshots equal batch build_kg over all edges."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+    from information_extraction_for_chinese_nlp_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from information_extraction_for_chinese_nlp_spark.sources.transcripts import (
+        synth_transcripts,
+    )
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    t = synth_transcripts(spark, n_convs=48, turns_per_conv=8)
+    edges = extract_triples(t, max_seq_len=128).localCheckpoint(eager=True)
+
+    src = str(tmp_path / "edges")
+    # 4 files = 4 micro-batches; docs don't straddle batches, matching
+    # the stream_edges deployment shape
+    edges.withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    ).repartition(4, "_b").drop("_b").write.parquet(src)
+
+    out = str(tmp_path / "kg")
+    q = stream_build_kg(
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    want_v, want_f = build_kg(spark.read.parquet(src))
+    got_v, _ = _latest_snap(spark, out, "vertices")
+    gv = {r.entity_id: (r.canonical_text, r.type, r.n_mentions)
+          for r in got_v.collect()}
+    wv = {r.entity_id: (r.canonical_text, r.type, r.n_mentions)
+          for r in want_v.collect()}
+    assert gv == wv
+    assert len(gv) > 5  # the fixture exercised a real entity population
+
+    got_f, _ = _latest_snap(spark, out, "fused")
+    gf = {(r.subj, r.pred, r.entity_id): r for r in got_f.collect()}
+    wf = {(r.subj, r.pred, r.entity_id): r for r in want_f.collect()}
+    assert set(gf) == set(wf) and len(gf) > 5
+    for k, w in wf.items():
+        g = gf[k]
+        assert abs(g.fused_prob - w.fused_prob) < 1e-9, k
+        assert (g.n_mentions, g.n_docs, g.canonical_text) == (
+            w.n_mentions, w.n_docs, w.canonical_text
+        ), k
