@@ -35,16 +35,34 @@ def pagerank(
     tol: float | None = None,
     checkpoint_every: int = 5,
     materialize_edges: bool = True,
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst) directed (parallel edges count as repeated
     endorsements) -> (node, rank), ranks summing to ~1.
 
-    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
-                                   + dangling_t/N)
+    rank_{t+1}(v) = reset(v) * (1-d + d*dangling_t)
+                    + d * sum_{u->v} rank_t(u) * w(u,v) / outw(u)
 
-    where ``dangling_t`` is the total rank mass sitting on nodes with
-    no out-edges, redistributed uniformly (the standard fix — without
-    it mass leaks and ranks no longer compare across components).
+    where ``reset`` is the teleport distribution (uniform 1/N by
+    default), ``outw(u)`` the (weighted) out-degree, and ``dangling_t``
+    the total rank mass on nodes with no out-edges, redistributed over
+    the reset distribution (the standard fix — without it mass leaks
+    and ranks no longer compare across components).
+
+    ``weight_col``: optional positive edge weight — e.g. ``fused_prob``
+    so a 0.99-confidence fact endorses harder than a 0.5 one; rows with
+    NULL or non-positive weight are dropped (they carry no
+    endorsement). ``None`` = every edge weighs 1 (parallel edges still
+    count multiply).
+
+    ``seeds``: optional (node) frame -> PERSONALIZED PageRank: the
+    reset distribution concentrates uniformly on the seed nodes
+    (intersected with the graph; must be non-empty), so rank measures
+    proximity-weighted importance relative to the seeds — the curation
+    query "what matters around these flagged entities", the global
+    variant's local counterpart. Nodes unreachable from every seed get
+    rank 0 (no uniform floor).
 
     ``tol``: when set, iteration stops early once the L1 delta between
     consecutive rank vectors falls below it; the probe is evaluated
@@ -80,10 +98,16 @@ def pagerank(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    if weight_col is None:
+        weighted = edges.select(src, dst, F.lit(1.0).alias("_w"))
+    else:
+        weighted = edges.select(
+            src, dst, F.col(weight_col).cast("double").alias("_w")
+        ).filter(F.col("_w") > 0)
+    deg = weighted.groupBy(src).agg(F.sum("_w").alias("_deg"))
     # degree-annotated edges: built once; see the materialize_edges
     # docstring note for the cut-vs-layout trade
-    linked = edges.select(src, dst).join(deg, on=src)
+    linked = weighted.join(deg, on=src)
     if materialize_edges:
         linked = linked.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
@@ -91,8 +115,30 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is None:
+        # uniform teleport: a literal, no join — the common case pays
+        # nothing for the personalization machinery
+        nodes = nodes.withColumn("_rv", F.lit(1.0 / n))
+    else:
+        seed_nodes = (
+            seeds.select(F.col("node")).distinct().join(nodes, on="node")
+        )
+        n_seeds = seed_nodes.count()
+        if n_seeds == 0:
+            raise ValueError("seeds share no node with the graph")
+        nodes = (
+            nodes.join(
+                F.broadcast(
+                    seed_nodes.withColumn("_rv", F.lit(1.0 / n_seeds))
+                ),
+                on="node",
+                how="left",
+            )
+            .na.fill({"_rv": 0.0})
+            .localCheckpoint(eager=True)
+        )
+
+    ranks = nodes.select("node", F.col("_rv").alias("rank"))
     # nodes with no out-edges, fixed across iterations. When the graph
     # has none (bidirectional or cleaned graphs — the common KG case),
     # the loop below stays a PURE lazy chain, lineage-cut only every
@@ -122,16 +168,17 @@ def pagerank(
         contribs = (
             linked.join(ranks.withColumnRenamed("node", src), on=src)
             .groupBy(dst)
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+            .agg(
+                F.sum(F.col("rank") * F.col("_w") / F.col("_deg")).alias("_c")
+            )
         )
         new_ranks = nodes.join(
             contribs.withColumnRenamed(dst, "node"), on="node", how="left"
         ).select(
             "node",
             (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("_c"), F.lit(0.0)) + dm / n)
+                F.col("_rv") * F.lit(1.0 - damping + damping * dm)
+                + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
             ).alias("rank"),
         )
         # the FINAL iteration is never cut: the caller's first action

@@ -678,6 +678,81 @@ def pagerank_entities(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _ppr_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Personalized-PageRank oracle: same unrolled update as
+    ``_pagerank_sql`` but with the reset vector concentrated on the
+    seed entity 'o0' (rv = 1 there, 0 elsewhere; the bidirectional
+    graph has no danglers, so the dangling term is identically 0)."""
+    head = """
+    triples AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+             'o' || CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                              AS BIGINT) % 10 AS VARCHAR) AS obj
+      FROM events
+    ),
+    edges AS (
+      SELECT subj AS src, obj AS dst FROM triples
+      UNION
+      SELECT obj AS src, subj AS dst FROM triples
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    rv AS (
+      SELECT node, CASE WHEN node = 'o0' THEN 1.0 ELSE 0.0 END AS v
+      FROM nodes
+    ),
+    r0 AS (SELECT node, v AS rank FROM rv)
+    """
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+      FROM r{i - 1} r
+      JOIN edges e ON e.src = r.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             rv.v * (1 - {d}) + {d} * coalesce(c.c, 0) AS rank
+      FROM nodes n
+      JOIN rv ON rv.node = n.node
+      LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    return (
+        "WITH "
+        + head
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters}
+    """
+    )
+
+
+@register_extra("pagerank_personalized", _ppr_sql())
+def pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank anchored on one seed entity
+    (``pagerank(seeds=...)``): rank measures proximity-weighted
+    importance relative to 'o0'. Extra tier: rotation candidate for
+    round 8."""
+    from ..operators.centrality import pagerank
+
+    t = _fusion_fixture(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("subj").cast("string")).alias("subj"),
+        F.concat(F.lit("o"), F.col("obj").cast("string")).alias("obj"),
+    )
+    edges = t.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).unionByName(
+        t.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    ).distinct()
+    seeds = spark.createDataFrame([("o0",)], "node string")
+    ranks = pagerank(edges, max_iter=3, seeds=seeds)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 @register_extra(
     "functional_resolution_recency",
     """

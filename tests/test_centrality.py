@@ -119,3 +119,87 @@ def test_pagerank_bucketed_edges_colocate_no_edge_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS t_pr_edges")
+
+
+def _ref_general(edge_list, n, d=0.85, iters=10, weights=None, seeds=None):
+    """Reset-vector formulation: r = rv*(1-d + d*dangling) + d*M r."""
+    w = weights or [1.0] * len(edge_list)
+    outw = np.zeros(n)
+    for (u, _), wi in zip(edge_list, w):
+        outw[u] += wi
+    m = np.zeros((n, n))
+    for (u, v), wi in zip(edge_list, w):
+        m[v, u] += wi / outw[u]
+    rv = np.zeros(n)
+    if seeds is None:
+        rv[:] = 1.0 / n
+    else:
+        rv[list(seeds)] = 1.0 / len(seeds)
+    r = rv.copy()
+    dangling = outw == 0
+    for _ in range(iters):
+        r = rv * (1 - d + d * r[dangling].sum()) + d * (m @ r)
+    return r
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    w = [2.0, 1.0, 0.5, 3.0, 1.0]
+    edges = spark.createDataFrame(
+        [(u, v, wi) for (u, v), wi in zip(_EDGES, w)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iter=10, weight_col="w").collect()
+    }
+    want = _ref_general(_EDGES, 5, weights=w)
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # weights matter: node 1 (in-edge weight 2 of src 0's total 3)
+    # differs from the unweighted run
+    unw = _ref_general(_EDGES, 5)
+    assert abs(want[1] - unw[1]) > 1e-4
+
+
+def test_pagerank_weighted_nonpositive_edges_dropped(spark):
+    # a src whose only out-edge has weight 0 becomes DANGLING, not a
+    # division by zero
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 0.0), (2, 0, None)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iter=10, weight_col="w").collect()
+    }
+    # only edge 0->1 survives; 1 and 2 dangle
+    want = _ref_general([(0, 1)], 3, weights=[1.0])
+    for v in range(3):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_personalized_concentrates_on_seeds(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (0,), (99,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iter=10, seeds=seeds).collect()
+    }
+    want = _ref_general(_EDGES, 5, seeds=[0])
+    for v in range(5):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # mass conserved and anchored: the seed outranks the global run's
+    # uniform floor, and unreachable-from-seed nodes get ~0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > 1.0 / 5
+    assert got[4] < 1e-12  # nothing reaches 4 from 0
+
+    with _pytest.raises(ValueError, match="seeds"):
+        pagerank(
+            edges,
+            seeds=spark.createDataFrame([(42,)], "node long"),
+        )
