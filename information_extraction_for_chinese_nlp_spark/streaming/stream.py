@@ -899,6 +899,7 @@ def stream_build_kg(
     available_now: bool = True,
     compact_every: int | None = 10,
     keep_snapshots: int = 2,
+    emit_delta: bool = False,
 ):
     """Incremental COMPOSED KG construction — the streaming face of
     ``plans.graph.build_kg``: after each micro-batch of extraction
@@ -960,6 +961,16 @@ def stream_build_kg(
     stream. The per-batch floor is the snapshot regroup — for a pure
     mention counter use ``stream_fuse_triples``; this operator buys
     full canonicalization semantics.
+
+    ``emit_delta=True`` additionally writes
+    ``fused_delta/batch_id=N`` = ``operators.fusion.kg_diff`` of the
+    previous fused snapshot against this one — what downstream
+    incremental consumers (index updaters, notification feeds) want
+    instead of re-diffing full snapshots; a retroactive merge shows up
+    as its removed fragment facts plus the changed/added merged fact.
+    Batch 0 (or a first batch after snapshot loss) emits everything as
+    'added'. Deltas are derived data (replay rewrites them) and are
+    pruned like the snapshots.
     """
     from ..operators.components import connected_components, merge_components
     from ..operators.fusion import fused_prob_expr, log_miss_expr
@@ -1194,6 +1205,35 @@ def stream_build_kg(
         )
         surfaces.unpersist()
         fstate.unpersist()
+
+        if emit_delta:
+            from ..operators.fusion import kg_diff
+
+            fused_root = f"{output_path}/fused"
+            cur = spark.read.parquet(f"{fused_root}/batch_id={batch_id}")
+            prior_snaps = [
+                bid
+                for st in fs.listStatus(_Path(fused_root))
+                if (bid := _batch_dir_id(st)) is not None and bid < batch_id
+            ]
+            if prior_snaps:
+                prev = spark.read.parquet(
+                    f"{fused_root}/batch_id={max(prior_snaps)}"
+                )
+            else:
+                prev = cur.limit(0)
+            # diff on the FACT key (subj, pred, entity_id): a
+            # retroactive merge surfaces as its fragment facts removed
+            # plus the merged fact added/changed
+            kg_diff(
+                prev, cur, obj_col="entity_id", tol=0.0
+            ).write.mode("overwrite").parquet(
+                f"{output_path}/fused_delta/batch_id={batch_id}"
+            )
+            _prune_batch_dirs(
+                fs, _Path, f"{output_path}/fused_delta", batch_id,
+                keep_snapshots,
+            )
 
         _prune_batch_dirs(fs, _Path, labels_root, batch_id, keep_snapshots)
         _prune_batch_dirs(

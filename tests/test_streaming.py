@@ -1207,3 +1207,73 @@ def test_stream_build_kg_real_extraction_edges_parity(spark, tmp_path):
         assert (g.n_mentions, g.n_docs, g.canonical_text) == (
             w.n_mentions, w.n_docs, w.canonical_text
         ), k
+
+
+def test_stream_build_kg_emit_delta_replays_to_snapshot(spark, tmp_path):
+    """emit_delta: per-batch fused_delta dirs classify added/removed/
+    changed on the fact key; applying the deltas in order (upsert
+    added+changed, delete removed) reconstructs the final snapshot,
+    and the retroactive merge surfaces as removed fragments + the
+    merged fact."""
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    b0 = [
+        ("case-1", "醫療費用", "abcdefgh", 0.4, "d1", 0, 8),
+        ("case-1", "醫療費用", "98,532元", 0.5, "d0", 0, 7),
+    ]
+    b1 = [("case-1", "醫療費用", "efghijkl", 0.4, "d4", 0, 8)]
+    b2 = [("case-1", "醫療費用", "abcdefghijkl", 0.4, "d6", 0, 12)]
+    src = str(tmp_path / "edges")
+    for batch in (b0, b1, b2):
+        spark.createDataFrame(batch, _EDGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "kg")
+    q = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        emit_delta=True,
+    )
+    q.awaitTermination(180)
+
+    deltas = spark.read.option("basePath", f"{out}/fused_delta").parquet(
+        f"{out}/fused_delta"
+    )
+    ids = sorted(
+        r.batch_id for r in deltas.select("batch_id").distinct().collect()
+    )
+    assert len(ids) == 3
+
+    # batch 0: everything added
+    d0 = deltas.filter(deltas.batch_id == ids[0])
+    assert {r.change for r in d0.collect()} == {"added"}
+
+    # the merge batch: min-label CC keeps the smallest fragment's
+    # entity id, so its fact reads CHANGED (support grew), the other
+    # fragment's fact is REMOVED, and nothing re-adds
+    dl = {
+        (r.subj, r.pred, r.entity_id): r.change
+        for r in deltas.filter(deltas.batch_id == ids[-1]).collect()
+    }
+    assert sorted(dl.values()) == ["changed", "removed"]
+
+    # replaying deltas in order == the final snapshot (fact -> score)
+    state: dict = {}
+    for bid in ids:
+        for r in deltas.filter(deltas.batch_id == bid).collect():
+            k = (r.subj, r.pred, r.entity_id)
+            if r.change == "removed":
+                state.pop(k)
+            else:
+                state[k] = r.new_prob
+    final, _ = _latest_snap(spark, out, "fused")
+    want = {(r.subj, r.pred, r.entity_id): r.fused_prob for r in final.collect()}
+    assert set(state) == set(want)
+    for k in want:
+        assert abs(state[k] - want[k]) < 1e-12, k
