@@ -1277,3 +1277,100 @@ def test_stream_build_kg_emit_delta_replays_to_snapshot(spark, tmp_path):
     assert set(state) == set(want)
     for k in want:
         assert abs(state[k] - want[k]) < 1e-12, k
+
+
+@pytest.mark.slow
+def test_stream_build_kg_soak_25_batches(spark, tmp_path):
+    """Longer-horizon composed-KG soak: 25 micro-batches over a rolling
+    population of money values AND a slowly-growing raw-surface long
+    tail (every 5th batch introduces a new linkable variant pair).
+    Pins: end-of-horizon parity with batch build_kg, bounded sum-state
+    and snapshot listings through compaction, and a per-batch wall that
+    stays within a generous band of the early steady state (the
+    fixture's state is floor-dominated; the guarded failure is
+    O(batches) listing/read growth)."""
+    from information_extraction_for_chinese_nlp_spark.plans.graph import build_kg
+    from information_extraction_for_chinese_nlp_spark.streaming.stream import (
+        stream_build_kg,
+    )
+
+    rows = []
+    src = str(tmp_path / "edges")
+    for b in range(25):
+        batch = [
+            (
+                f"case-{(b + i) % 6}",
+                "醫療費用",
+                f"{(b * 3 + i) % 7},500元",
+                0.3 + 0.1 * (i % 4),
+                f"d{b * 10 + i}",
+                0,
+                6,
+            )
+            for i in range(4)
+        ]
+        if b % 5 == 0:
+            # a fresh similar-surface pair: exercises the incremental
+            # linker + CC fold on every compaction cycle
+            tag = chr(ord("a") + b // 5) * 3
+            batch.append(
+                (f"case-{b % 6}", "醫療費用", f"unknown-{tag}-alpha",
+                 0.4, f"dr{b}", 0, 13)
+            )
+            batch.append(
+                (f"case-{b % 6}", "醫療費用", f"unknown-{tag}-alphx",
+                 0.4, f"dr{b}x", 0, 13)
+            )
+        rows.extend(batch)
+        spark.createDataFrame(batch, _EDGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "kg")
+    q = stream_build_kg(
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt"),
+        compact_every=5,
+    )
+    q.awaitTermination(600)
+
+    want_v, want_f = build_kg(spark.createDataFrame(rows, _EDGE_SCHEMA))
+    got_v, _ = _latest_snap(spark, out, "vertices")
+    gv = {r.entity_id: (r.canonical_text, r.n_mentions) for r in got_v.collect()}
+    wv = {r.entity_id: (r.canonical_text, r.n_mentions) for r in want_v.collect()}
+    assert gv == wv
+    got_f, _ = _latest_snap(spark, out, "fused")
+    gf = {(r.subj, r.pred, r.entity_id): r for r in got_f.collect()}
+    wf = {(r.subj, r.pred, r.entity_id): r for r in want_f.collect()}
+    assert set(gf) == set(wf)
+    for k, w in wf.items():
+        assert abs(gf[k].fused_prob - w.fused_prob) < 1e-9, k
+        assert gf[k].n_mentions == w.n_mentions, k
+
+    for state in ("_surfaces", "_fstate"):
+        dirs = [
+            d for d in os.listdir(os.path.join(out, state))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) <= 2 * 5 + 1, (state, sorted(dirs))
+    for table in ("vertices", "fused", "_labels"):
+        dirs = [
+            d for d in os.listdir(os.path.join(out, table))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) <= 3, (table, sorted(dirs))
+
+    prog = [
+        (p["batchId"], p["durationMs"]["triggerExecution"])
+        for p in (q.recentProgress or [])
+        if p.get("durationMs") and p.get("numInputRows", 0) > 0
+    ]
+    assert len(prog) >= 20, len(prog)
+    prog.sort()
+    times = [t for _, t in prog]
+    early = sorted(times[3:12])[len(times[3:12]) // 2]
+    tail = sorted(times[-6:])[3]
+    assert tail <= 3.0 * early, (early, tail, times)
