@@ -202,3 +202,79 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+    directed: bool = False,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation ->
+    (node, label): each round every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — fully
+    deterministic (unlike the classic asynchronous LPA), so reruns,
+    retries, and the DuckDB oracle all agree. Labels start as the node
+    ids; after ``max_iter`` rounds densely-connected groups share a
+    label while bridges between them carry little voting weight —
+    the density complement to ``connected_components`` (which merges
+    ANY connectivity) for KG cluster review.
+
+    Synchronous LPA on bipartite-ish structure can oscillate between
+    two colorings; ``max_iter`` bounds that by construction and the
+    fixed iteration count keeps the output reproducible.
+
+    Scale shape per round: one join of the label vector onto the edge
+    list (label vector broadcasts while small; bucketed edge layout
+    co-locates it at scale — same notes as ``pagerank``), one
+    (node, label) count aggregation, one per-node window over the
+    label's candidate set (bounded by the node's distinct neighbor
+    labels). Lineage cut every ``checkpoint_every`` rounds, final
+    round never cut.
+    """
+    from pyspark.sql.window import Window
+
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+
+    step = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if not directed:
+        step = step.unionByName(
+            step.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+    step = step.localCheckpoint(eager=True)
+    nodes = step.select(F.col("_u").alias("node")).unionByName(
+        step.select(F.col("_v").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("label").asc()
+    )
+    for it in range(max_iter):
+        votes = (
+            step.join(labels.withColumnRenamed("node", "_u"), on="_u")
+            .groupBy(F.col("_v").alias("node"), "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        picked = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        # isolated-from-voting nodes cannot exist in the undirected
+        # case (every node has >= 1 neighbor by construction); in the
+        # directed case a source-only node keeps its current label
+        new_labels = (
+            labels.select("node").join(picked, on="node", how="left")
+            .join(labels.withColumnRenamed("label", "_prev"), on="node")
+            .select("node", F.coalesce("label", "_prev").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it < max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+    return labels

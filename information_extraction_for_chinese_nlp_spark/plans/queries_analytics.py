@@ -678,6 +678,68 @@ def pagerank_entities(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _lpa_sql(iters: int = 3) -> str:
+    """Synchronous min-tie label-propagation oracle, unrolled: each
+    round every node takes the most frequent neighbor label, ties to
+    the smallest. The graph is the already-bidirectional subject<->
+    entity edge set (each neighbor votes once; the operator is called
+    with directed=True on the same frame so the votes match exactly)."""
+    head = """
+    triples AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+             'o' || CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                              AS BIGINT) % 10 AS VARCHAR) AS obj
+      FROM events
+    ),
+    edges AS (
+      SELECT subj AS src, obj AS dst FROM triples
+      UNION
+      SELECT obj AS src, subj AS dst FROM triples
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes)
+    """
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS n
+      FROM l{i - 1} l JOIN edges e ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM c{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY n DESC, label ASC) = 1
+    )""")
+    return (
+        "WITH " + head + "," + ",".join(its)
+        + f"""
+    SELECT node, label FROM l{iters}
+    """
+    )
+
+
+@register_extra("label_propagation_communities", _lpa_sql())
+def label_propagation_communities(spark, sf_dir):
+    """Deterministic synchronous LPA communities over the bidirectional
+    subject<->entity graph (``operators.centrality.label_propagation``
+    vs an unrolled per-round SQL). Extra tier: rotation candidate for
+    round 8."""
+    from ..operators.centrality import label_propagation
+
+    t = _fusion_fixture(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("subj").cast("string")).alias("subj"),
+        F.concat(F.lit("o"), F.col("obj").cast("string")).alias("obj"),
+    )
+    edges = t.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).unionByName(
+        t.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    ).distinct()
+    return label_propagation(edges, max_iter=3, directed=True)
+
+
 def _ppr_sql(iters: int = 3, d: float = 0.85) -> str:
     """Personalized-PageRank oracle: same unrolled update as
     ``_pagerank_sql`` but with the reset vector concentrated on the

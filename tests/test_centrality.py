@@ -203,3 +203,61 @@ def test_pagerank_personalized_concentrates_on_seeds(spark):
             edges,
             seeds=spark.createDataFrame([(42,)], "node long"),
         )
+
+
+def test_label_propagation_two_dense_communities(spark):
+    from information_extraction_for_chinese_nlp_spark.operators.centrality import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge: LPA should give each triangle
+    # one label and not merge across the bridge (CC would merge all 6)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, max_iter=5).collect()}
+    assert len(got) == 6
+    left = {got[v] for v in (0, 1)}
+    right = {got[v] for v in (11, 12)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge did not merge the triangles
+
+    # determinism: second run identical
+    again = {r.node: r.label for r in label_propagation(edges, max_iter=5).collect()}
+    assert again == got
+
+
+def test_label_propagation_python_reference_parity(spark):
+    """Synchronous min-tie LPA against a direct Python simulation on a
+    seeded random graph — every node, every round semantics."""
+    import random
+
+    from information_extraction_for_chinese_nlp_spark.operators.centrality import (
+        label_propagation,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(80)})
+    edge_list = [(u, v) for u, v in edge_list if u != v]
+
+    # python reference: synchronous, neighbors vote, max count then min
+    adj: dict = {}
+    for u, v in edge_list:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        labels = nxt
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(edges, max_iter=4).collect()}
+    assert got == labels
