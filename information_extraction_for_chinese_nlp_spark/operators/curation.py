@@ -59,7 +59,7 @@ def curate(
     n_bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = 10_000,
-    vectorized: bool = False,
+    vectorized: bool = True,
     observation=None,
 ) -> DataFrame:
     """(line-level boilerplate removal) -> dedup -> (decontaminate) ->

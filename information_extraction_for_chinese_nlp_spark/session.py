@@ -10,12 +10,41 @@ explicitly where a side is known-small).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, settings: dict[str, str]):
+    """Temporarily override session confs for a driver-side loop whose
+    actions all run inside the ``with`` block, restoring (or unsetting)
+    the previous values on exit.
+
+    Session confs are SESSION-global, so the override leaks into any
+    query another thread starts inside the window — the same caveat the
+    session-wide AQE floor already carries. Use for iterative operators
+    (CC, PageRank) whose per-round shuffles want different AQE
+    coalescing than the Python-stage-bound extraction family; the
+    returned frames must be materialized (checkpointed) inside the
+    scope or they will execute under the restored confs."""
+    conf = spark.conf
+    prev: dict[str, str | None] = {}
+    for k, v in settings.items():
+        prev[k] = conf.get(k, None)
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
 
 
 def get_spark(
