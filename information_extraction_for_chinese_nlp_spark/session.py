@@ -84,6 +84,21 @@ def get_spark(
         # bounded at `shuffle_partitions` tasks — and at real 100 TB
         # partition sizes the floor is never the binding constraint.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # InferFiltersFromGenerate injects `size(e) > 0 AND isnotnull(e)`
+        # under every explode(e) — for this engine's generators e is an
+        # expensive derived array (higher-order shingle/band/bit
+        # expressions, interpreted because HOFs never codegen), so the
+        # inferred filter RE-EVALUATES the whole array expression once
+        # per row on top of the Generate's own evaluation: measured 2.1x
+        # on the shingle explode (2.47s -> 1.17s at sf0.1, r8) and it
+        # can never prune anything explode itself wouldn't drop. The
+        # rule exists to enable join/scan pushdown of the emptiness
+        # check, which no plan in this engine has (generators sit
+        # directly over scans/projections).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDF / mapInPandas boundaries (the scorer).
