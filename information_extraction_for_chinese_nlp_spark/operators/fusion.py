@@ -336,12 +336,22 @@ def kg_diff(
     FUSED tables — orders smaller than mention streams); the
     steady-state filter prunes before anything downstream."""
     keys = [subj_col, pred_col, obj_col]
-    o = old.select(*keys, F.col(score_col).alias("_old"))
-    n = new.select(*keys, F.col(score_col).alias("_new"))
+    # presence travels as explicit flags, NOT score NULL-ness:
+    # fuse_triples output always carries a non-null score, but this
+    # function accepts arbitrary snapshots, and a fact present on both
+    # sides with a NULL score must not masquerade as added/removed
+    # (ADVICE r7). A NULL score on a both-sides fact compares as
+    # steady state (abs(NULL - x) is NULL -> filtered).
+    o = old.select(
+        *keys, F.col(score_col).alias("_old"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *keys, F.col(score_col).alias("_new"), F.lit(True).alias("_in_new")
+    )
     joined = o.join(n, on=keys, how="full_outer")
     change = (
-        F.when(F.col("_old").isNull(), "added")
-        .when(F.col("_new").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .when(F.abs(F.col("_new") - F.col("_old")) > tol, "changed")
     )
     return (

@@ -666,7 +666,15 @@ def _read_sum_state(spark, root_str, template, batch_id, fs, _Path):
     if not prior_ids:
         return None, snap_ids, prior_ids
     lo = max(snap_ids) if snap_ids else min(prior_ids)
-    schema = template.schema.add(StructField("batch_id", LongType()))
+    # fresh StructType: StructType.add MUTATES in place and
+    # DataFrame.schema is cached, so template.schema.add(...) would
+    # graft a phantom batch_id field onto the CALLER's partials frame
+    # (ADVICE r7)
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        list(template.schema.fields) + [StructField("batch_id", LongType())]
+    )
     frame = (
         spark.read.schema(schema)
         .option("basePath", root_str)
@@ -857,7 +865,12 @@ def stream_fuse_triples(
         fused = merged.groupBy(*fact).agg(
             F.sum("_log_miss").alias("_log_miss"),
             F.sum("n_mentions").alias("n_mentions"),
-            F.count("*").alias("n_docs"),
+            # count(doc_col), not count(*): merged is one row per
+            # (fact, doc) INCLUDING a possible NULL-doc group, and the
+            # batch face's countDistinct(doc_col) ignores NULLs — a
+            # count(*) here would read NULL-doc mentions as one extra
+            # source and break batch/stream parity by one (ADVICE r7)
+            F.count(doc_col).alias("n_docs"),
             F.max("max_prob").alias("max_prob"),
             F.min(doc_col).alias("first_doc"),
             *temporal_merge,
@@ -1183,7 +1196,9 @@ def stream_build_kg(
             .agg(
                 F.sum("_log_miss").alias("_log_miss"),
                 F.sum("n_mentions").alias("n_mentions"),
-                F.count("*").alias("n_docs"),
+                # count(doc_id) skips a NULL-doc group — see the
+                # stream_fuse_triples finalizer note (ADVICE r7)
+                F.count("doc_id").alias("n_docs"),
                 F.max("max_prob").alias("max_prob"),
                 F.min("doc_id").alias("first_doc"),
             )
