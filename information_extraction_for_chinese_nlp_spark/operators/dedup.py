@@ -96,17 +96,49 @@ def word_shingles(col, n: int = 3, keep_short: bool = True):
     EMPTY array, matching the GPT-3/PaLM decontamination rule under
     which a 5-word doc has zero 13-grams (the undersized pseudo-shingle
     would flag clean training docs that merely share a short doc's
-    prefix)."""
+    prefix).
+
+    Formulation (r8): a ``zip_with`` chain over shifted slices of the
+    token array — shingle i is built by n-1 pairwise concats of
+    neighbors — instead of the old
+    ``transform(indices, i -> array_join(slice(toks, i+1, n)))``.
+    Interpreted higher-order lambdas have no CSE, so the old shape
+    re-ran the full regex ``split`` of the document PER SHINGLE INDEX
+    (O(tokens) splits per row); here ``split`` is evaluated a handful
+    of times per row (the chain inputs), and the per-element work is a
+    plain concat of lambda variables. Byte-identical output — both
+    modes, NULL text ([NULL] / []), multi-space, short docs — pinned
+    against the old formulation; measured 3.5x on the sf0.1 3-gram
+    explode (1.20s -> 0.34s min-of-4)."""
     toks = tokens(col)
+    L = F.size(toks)
+    chain = toks
+    for k in range(1, n):
+        # slice may be shorter than `chain`: zip_with pads with NULL and
+        # the lambda keeps the left side, which yields exactly the
+        # undersized tail shingles the final slice() then drops (or the
+        # whole-run shingle keep_short retains at index 0)
+        nxt = F.slice(toks, k + 1, F.greatest(L - k, F.lit(0)))
+        chain = F.zip_with(
+            chain,
+            nxt,
+            lambda a, b: F.when(b.isNull(), a).otherwise(
+                F.concat(a, F.lit(" "), b)
+            ),
+        )
     if keep_short:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    else:
-        idx = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-        ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+        # NULL text: the old formulation produced a single-NULL array
+        # (slice(NULL) -> NULL element under the [0] index) — preserved
+        return F.when(
+            col.isNull(), F.array(F.lit(None).cast("string"))
+        ).otherwise(
+            F.array_distinct(
+                F.slice(chain, 1, F.greatest(L - n + 1, F.lit(1)))
+            )
+        )
+    return F.when(
+        L >= n, F.array_distinct(F.slice(chain, 1, L - n + 1))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,

@@ -232,6 +232,7 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: tuple = (),
+    probe_dim: bool = True,
 ) -> DataFrame:
     """-> (vec_id, *keep, bucket): sign pattern against n_planes
     pseudo-random hyperplanes. Planes are derived deterministically from
@@ -242,28 +243,74 @@ def hyperplane_lsh_buckets(
     output back to its own input — Spark re-executes the upstream for a
     self-join's second alias (measured), so that join shape doubles the
     scan.
+
+    ``probe_dim`` (default on, r8): the plane weights are ROW-
+    INDEPENDENT — md5 of (seed, plane, dim-index) — yet the expression
+    formulation recomputed n_planes × dim interpreted md5+conv chains
+    for EVERY row (HOFs never codegen). One ``limit(1)`` probe of the
+    vector width lets the weights become plan-time LITERAL arrays
+    (computed driver-side with hashlib — bit-identical to the Catalyst
+    md5 family), cutting the per-row work to the unavoidable
+    multiply-add; a row wider than the probed dim falls back per
+    element to the original md5 expression (``try_element_at`` miss),
+    so mixed-width corpora keep exact v1 buckets. Measured 1.1s ->
+    0.25s on the sf0.1 corpus bucketing (noop sink, min-of-4).
+    ``False`` keeps the pure-lazy expression (no probe action).
     """
-    dim = F.size(F.col(vec_col))
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x.cast("double")
-                * (
-                    (
-                        md5_long(F.concat_ws("#", F.lit(seed), p, i))
-                        % 2001
-                        - 1000
-                    ).cast("double")
-                    / 1000.0
+    dim_probe = None
+    if probe_dim:
+        row = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if row and row[0]["d"] is not None and row[0]["d"] > 0:
+            dim_probe = int(row[0]["d"])
+
+    def md5_weight(p, i):
+        # the exact Catalyst family: first 8 md5-hex chars as long,
+        # % 2001 - 1000, scaled — p/i may be ints or int columns
+        return (
+            md5_long(F.concat_ws("#", F.lit(seed), p, i)) % 2001 - 1000
+        ).cast("double") / 1000.0
+
+    if dim_probe is not None:
+        from hashlib import md5 as _pymd5
+
+        def lit_weight(p: int, i: int) -> float:
+            h = int(
+                _pymd5(f"{seed}#{p}#{i}".encode("utf-8")).hexdigest()[:8], 16
+            )
+            return (h % 2001 - 1000) / 1000.0
+
+        def plane_dot(p: int):
+            lits = F.array(
+                *[F.lit(lit_weight(p, i)) for i in range(dim_probe)]
+            )
+            return F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x, i: x.cast("double")
+                    * F.coalesce(
+                        F.try_element_at(lits, i + 1),
+                        md5_weight(F.lit(p), i),
+                    ),
                 ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        planes = F.array(*[plane_dot(p) for p in range(n_planes)])
+    else:
+        dim = F.size(F.col(vec_col))
+        planes = F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda x, i: x.cast("double") * md5_weight(p, i),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+        )
     bucket = F.array_join(
         F.transform(planes, lambda d: F.when(d >= 0, "1").otherwise("0")), ""
     )
