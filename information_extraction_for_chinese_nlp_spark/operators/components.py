@@ -215,12 +215,22 @@ def connected_components(
                     F.coalesce("_cc", "component").alias("component"),
                     "_prev",
                 )
-            new_labels = cut(propagated)
-            changed = (
-                new_labels.filter(F.col("component") != F.col("_prev"))
-                .limit(1)
-                .count()
+            # convergence probe as an Observation metric on the SAME job
+            # that materializes the round's checkpoint — the pre-r8
+            # shape paid a separate (cheap but scheduler-round-trip)
+            # count job per round over the materialized blocks
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = cut(
+                propagated.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("component") != F.col("_prev"), 1)
+                    ).alias("_changed"),
+                )
             )
+            changed = obs.get["_changed"] or 0
             labels = new_labels.drop("_prev")
             if changed == 0:
                 break

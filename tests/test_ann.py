@@ -333,3 +333,25 @@ def test_unit_vectors_preserves_existing_nrm_column(spark):
     out = unit_vectors(df, "v").collect()
     assert out[0]._nrm == "keep-me"
     assert abs(out[0].v[0] - 0.6) < 1e-12 and abs(out[0].v[1] - 0.8) < 1e-12
+
+
+def test_hyperplane_literal_weights_match_expression(spark):
+    """r8: hyperplane_lsh_buckets literalizes the (row-independent)
+    plane weights after a width probe; rows WIDER than the probed dim
+    fall back per element to the original md5 expression. Buckets must
+    be identical to the pure-expression path — including on a
+    mixed-width corpus where the first row is the narrow one."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [0.5, -0.25, 1.0, 2.0]),
+        (2, [1.0, 1.0, -3.0, 0.25, 0.125, -0.5, 2.0, 1.5]),  # wider than probe
+        (3, [-1.0, 2.0, 0.0, 0.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_b = {r["vec_id"]: r["bucket"]
+             for r in hyperplane_lsh_buckets(df, n_planes=6).collect()}
+    expr_b = {r["vec_id"]: r["bucket"]
+              for r in hyperplane_lsh_buckets(df, n_planes=6,
+                                              probe_dim=False).collect()}
+    assert lit_b == expr_b, (lit_b, expr_b)

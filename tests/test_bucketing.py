@@ -135,3 +135,53 @@ def test_vectorized_paths_parity_property(spark):
 
 # e2e / streaming / property-heavy: excluded from the fast inner-loop tier
 pytestmark = pytest.mark.slow
+
+
+def test_word_shingles_matches_python_reference(spark):
+    """r8: word_shingles was rewritten as a zip_with chain (the old
+    transform-over-indices shape re-split the document per shingle
+    index under interpreted HOF evaluation). Pin both modes against an
+    independent pure-Python reference across the edge cases: NULL text
+    (old behavior: [NULL] / []), short docs, empty string, multi-space
+    runs, leading/trailing separators, long docs."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    rows = [
+        (1, ""), (2, "a"), (3, "a b"), (4, "a b c d"), (5, None),
+        (6, "  double  spaces "), (7, "x " * 300 + "y"), (8, " lead"),
+        (9, "trail "), (10, "一 二 三 四 五"), (11, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref(text, n, keep_short):
+        if text is None:
+            return [None] if keep_short else []
+        toks = text.split(" ")
+        if len(toks) < n:
+            grams = [" ".join(toks)] if keep_short else []
+        else:
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        out, seen = [], set()
+        for g in grams:  # array_distinct keeps first occurrence
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    for n in (2, 3, 8):
+        for keep_short in (True, False):
+            got = {
+                r["doc_id"]: r["s"]
+                for r in df.select(
+                    "doc_id",
+                    word_shingles(F.col("text"), n, keep_short).alias("s"),
+                ).collect()
+            }
+            for doc_id, text in rows:
+                assert got[doc_id] == ref(text, n, keep_short), (
+                    n, keep_short, doc_id, got[doc_id], ref(text, n, keep_short)
+                )

@@ -179,3 +179,25 @@ def test_local_components_matches_distributed_semantics():
 import pytest
 
 pytestmark = pytest.mark.slow
+
+
+def test_broadcast_label_hint_parity(spark):
+    """r8: under broadcast_label_limit the per-round label join carries
+    a broadcast hint (edge table never exchanged). Hinted and unhinted
+    labelings must be identical, pointer_jump on and off."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_for_chinese_nlp_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.range(3000).select(
+        F.pmod(F.xxhash64("id"), 500).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(7)), 500).alias("dst"),
+    )
+    for pj in (False, True):
+        hinted = sorted(map(tuple, connected_components(
+            edges, pointer_jump=pj).collect()))
+        plain = sorted(map(tuple, connected_components(
+            edges, pointer_jump=pj, broadcast_label_limit=0).collect()))
+        assert hinted == plain

@@ -195,3 +195,78 @@ def test_aqe_floor_keeps_cpu_stage_wide(spark):
     df.collect()
     nparts = df.rdd.getNumPartitions()
     assert nparts >= 4, nparts
+
+
+def test_unit_vectors_norm_not_inlined(spark):
+    """r8 regression guard: CollapseProject used to inline the norm
+    aggregate into the division lambda, where interpreted HOF
+    evaluation re-ran it PER ELEMENT (O(d²)/row in every ANN/IVF
+    plan). The when-guard keeps the alias referenced twice, so the
+    plan must divide by a materialized `_nrm` attribute and evaluate
+    the SQRT aggregate at most twice per row (filter + projection),
+    never once per element."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        unit_vectors,
+    )
+
+    df = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0), F.lit(2.0)
+        ).alias("embedding"),
+    )
+    out = unit_vectors(df, "embedding")
+    plan = _executed_plan(out)
+    assert "/ _nrm#" in plan, plan
+    assert plan.count("SQRT(aggregate") <= 2, plan
+
+
+def test_ivf_search_has_no_pair_dedup_exchange(spark):
+    """r8: IVF partitions the corpus (one cell per row, distinct probe
+    cells per query), so (qid, nid) pairs are unique by construction
+    and the old groupBy(qid, nid) dedup was an identity costing a full
+    Exchange. The plan must carry exactly ONE hash exchange (the
+    ranking window); pair rows must still be unique."""
+    from information_extraction_for_chinese_nlp_spark.operators.similarity import (
+        ivf_search, ivf_assignments,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.pmod(F.xxhash64("id", F.lit(d)), 97).cast("double") / 97.0
+              for d in range(8)]
+        ).alias("embedding"),
+    )
+    assigned, centroids = ivf_assignments(emb, n_cells=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_search(assigned, centroids, queries, k=3, n_probe=2)
+    plan = _executed_plan(out)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+    pairs = out.select("qid", "nid")
+    assert pairs.count() == pairs.distinct().count()
+
+
+def test_generate_has_no_inferred_duplicate_filter(spark):
+    """r8: InferFiltersFromGenerate is excluded session-wide — the
+    inferred `size(e) > 0` filter under an explode re-evaluated the
+    whole derived-array expression once more per row (expensive for
+    the interpreted shingle/band chains, prunes nothing explode would
+    keep). The plan below a generator must not re-state the generator
+    expression inside a Filter."""
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    from information_extraction_for_chinese_nlp_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    out = df.select("doc_id", F.explode(word_shingles(F.col("text"), 3)))
+    plan = _executed_plan(out)
+    # the shingle chain must appear exactly once (the Generate input
+    # projection), not again inside an inferred size()>0 Filter
+    assert plan.count("zip_with") == (3 - 1), plan
