@@ -109,13 +109,20 @@ def pagerank(
     # the dangling flag (no out-edge) is pre-joined onto the node set so
     # the per-round dangling mass can ride the rank vector instead of
     # needing its own join+collect action per round (r8, VERDICT r7
-    # item 3) — one left join at setup, one boolean column per row
+    # item 3) — one left join at setup, one boolean column per row.
+    # The flag's key set comes from the MATERIALIZED edge table when
+    # available (distinct src over checkpoint blocks == deg's keys),
+    # so the nodes job doesn't re-run the degree aggregation the
+    # linked checkpoint just computed.
+    out_keys = (linked if materialize_edges else deg).select(
+        F.col(src).alias("node")
+    ).distinct()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .join(
-            deg.select(F.col(src).alias("node"), F.lit(False).alias("_dang")),
+            out_keys.withColumn("_dang", F.lit(False)),
             on="node",
             how="left",
         )
