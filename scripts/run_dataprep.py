@@ -50,8 +50,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--rows-per-band", type=int, default=2)
     ap.add_argument("--max-bucket", type=int, default=10_000,
                     help="degenerate-cluster cap for LSH banding; -1 = no cap")
-    ap.add_argument("--vectorized", action="store_true",
-                    help="mapInPandas signature path (large hash budgets)")
+    ap.add_argument("--vectorized", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="mapInPandas signature path (default since r8 — "
+                         "measured faster at every band budget; "
+                         "--no-vectorized keeps the pure-Catalyst twin)")
     ap.add_argument("--decontaminate", default=None,
                     help="eval-corpus parquet; drop docs sharing any n-gram")
     ap.add_argument("--decontam-ngram", type=int, default=13)
