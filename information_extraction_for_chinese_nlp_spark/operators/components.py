@@ -67,8 +67,9 @@ def connected_components(
     6.4s, 8 derived partitions = 4.5s (min-of-3 each), with a shallow
     optimum at ~1e5 rows/task; on big graphs the clamp saturates to the
     session value, so the rule only ever REMOVES scheduling overhead.
-    Costs one count() over the already-materialized blocks. ``None``
-    disables the derivation.
+    The row count rides the edge-materialization job as an
+    ``Observation`` metric (no extra action). ``None`` disables the
+    derivation.
 
     ``broadcast_label_limit``: while the node count stays at or under
     this many rows, each round's label join carries an ``F.broadcast``
@@ -84,8 +85,8 @@ def connected_components(
     REGRESSED q10-shape CC 6.1 -> 9.9s — so the hint is only right when
     the label table is small in absolute terms, not merely
     broadcastable. Past the limit the join plans unhinted exactly as
-    before (unbounded in |V|). Node count comes from one count() over
-    the already-materialized label blocks.
+    before (unbounded in |V|). The node count rides the label-
+    materialization job as an ``Observation`` metric (no extra action).
     """
     cleanup_dir: str | None = None
     if durable:
@@ -135,16 +136,24 @@ def connected_components(
                 aqe_min_partition_size,
         }))
     try:
+        from pyspark.sql import Observation
+
+        # row counts for the partition derivation and the broadcast
+        # decision ride the cut jobs as Observation metrics — zero
+        # extra actions (a separate count per decision measurably taxed
+        # tiny-graph callers like build_graph's entity CC, r8)
+        sym_obs = Observation()
         sym = edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b")
         ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        sym = cut(sym.filter(F.col("a") != F.col("b")).distinct())
+        sym = cut(
+            sym.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .observe(sym_obs, F.count(F.lit(1)).alias("n"))
+        )
 
-        if loop_rows_per_partition is not None and not durable:
-            # sym is already block-materialized (localCheckpoint), so
-            # this count is a block scan, not a recompute; `durable`
-            # skips it (reliable checkpoints re-read files per action)
-            n_sym = sym.count()
+        if loop_rows_per_partition is not None:
+            n_sym = sym_obs.get["n"]
             session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             loop_parts = max(
                 1,
@@ -155,14 +164,16 @@ def connected_components(
                     "spark.sql.shuffle.partitions": str(loop_parts),
                 }))
 
+        lab_obs = Observation()
         labels = cut(
             sym.select(F.col("a").alias("node"))
             .distinct()
             .withColumn("component", F.col("node"))
+            .observe(lab_obs, F.count(F.lit(1)).alias("n"))
         )
-        # the node set is loop-invariant, so one block-scan count decides
-        # the hint for every round (see broadcast_label_limit above)
-        bcast_labels = labels.count() <= broadcast_label_limit
+        # the node set is loop-invariant, so one metric decides the
+        # hint for every round (see broadcast_label_limit above)
+        bcast_labels = lab_obs.get["n"] <= broadcast_label_limit
 
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if bcast_labels else df
