@@ -169,6 +169,14 @@ def build_graph(edges: DataFrame, link_threshold: float = 0.6,
     ``dedup_pipeline``).
     """
     normed = normalize_objects(edges)
+    if checkpoint:
+        # normed is consumed twice (the linker's distinct-surface pass
+        # and the canonicalized join) and carries a pandas-UDF column
+        # (obj_norm) — without a boundary the ArrowEvalPython
+        # normalization runs once per consumer. Same lazy-checkpoint
+        # discipline (and the same memory class) as the `keyed`
+        # boundary below; gate plans (checkpoint=False) stay pure.
+        normed = normed.localCheckpoint(eager=False)
 
     pairs = raw_match_pairs(normed, link_threshold, max_bucket=link_max_bucket)
     comps = connected_components(pairs, src="src", dst="dst")
